@@ -1,0 +1,277 @@
+"""Deterministic, distributed synthetic-data generators.
+
+Two payloads:
+
+1. **Sensor events** — replicates the reference's synthetic generator
+   semantics (5 equipment x 5 sensors, 1 Hz, ~15% literal "null"
+   values, uniform(0,100) rounded to 3 dp — reference:
+   src/generator/data_generator.py:20-69) but seeded and
+   *distributed*: one generation task per equipment, counter-based
+   RNG, so the same (seed, equip, t) always yields the same value on
+   any cluster size or partition layout.
+
+2. **Audio clips + tracks** — the graft payload (BASELINE.json
+   input_hint). A fixed set of synthetic "tracks" (note sequences ->
+   PCM); clips are either excerpts of a track (with low additive
+   noise) or pure noise. Deterministic per clip_id, generated
+   distributed via mapInPandas over a range of ids.
+
+Nothing here touches the driver beyond tiny dimension lists; all PCM
+synthesis runs inside Arrow-batched tasks, which is exactly how a
+100 TB backfill of this table would be produced on a real cluster.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import codec, schema
+
+# ---------------------------------------------------------------- sensors
+
+DEFAULT_EQUIPMENT = ["110", "111", "112", "113", "114"]
+DEFAULT_SENSORS = ["0001", "0002", "0003", "0004", "0005"]
+NULL_PROB = 0.15
+
+
+def _equip_rng(seed: int, equip: str) -> np.random.Generator:
+    # Philox is counter-based: keying on (seed, equip) gives an
+    # independent, reproducible stream per equipment regardless of
+    # which task generates it.
+    key = np.frombuffer(equip.encode().ljust(8, b"\0")[:8], dtype=np.uint64)[0]
+    return np.random.Generator(np.random.Philox(key=[np.uint64(seed), key]))
+
+
+def sensor_events_pdf(
+    seed: int,
+    equip: str,
+    n_seconds: int,
+    start_ms: int,
+    sensors: list[str],
+) -> pd.DataFrame:
+    """One equipment's full event series as a pandas frame (one task's work).
+
+    Event times are contiguous 1 Hz; arrival-order skew (what the
+    watermark absorbs) is injected by the streaming tests, not here.
+    """
+    rng = _equip_rng(seed, equip)
+    ts = start_ms + np.arange(n_seconds, dtype=np.int64) * 1000
+    vals = rng.uniform(0, 100, size=(n_seconds, len(sensors)))
+    nulls = rng.random((n_seconds, len(sensors))) < NULL_PROB
+    rows = []
+    for i in range(n_seconds):
+        data = {
+            s: ("null" if nulls[i, j] else str(round(float(vals[i, j]), 3)))
+            for j, s in enumerate(sensors)
+        }
+        rows.append((equip, int(ts[i]), data))
+    return pd.DataFrame(rows, columns=["equip_id", "ts_ms", "data"])
+
+
+def sensor_events(
+    spark: SparkSession,
+    seed: int = 42,
+    n_seconds: int = 600,
+    start_ms: int = 1_700_000_000_000,
+    equipment: list[str] | None = None,
+    sensors: list[str] | None = None,
+) -> DataFrame:
+    """Distributed sensor-event table: one generation task per equipment."""
+    equipment = equipment or DEFAULT_EQUIPMENT
+    sensors = sensors or DEFAULT_SENSORS
+    seeds = spark.createDataFrame(
+        [(e,) for e in equipment], "equip_id string"
+    ).repartition(len(equipment), "equip_id")
+
+    def gen(batches):
+        for pdf in batches:
+            for equip in pdf["equip_id"]:
+                yield sensor_events_pdf(seed, equip, n_seconds, start_ms, sensors)
+
+    return seeds.mapInPandas(gen, schema.SENSOR_EVENT)
+
+
+# ---------------------------------------------------------------- audio
+
+SR_HZ = 8000  # one fixed rate for tracks; clips carry their own sr_hz column
+_NOTE_MS = 250
+_SCALE_HZ = np.array(
+    [220.0, 246.9, 277.2, 311.1, 329.6, 370.0, 415.3, 440.0, 493.9, 554.4, 622.3, 659.3]
+)
+
+_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
+    "xray yankee zulu"
+).split()
+
+
+def _id_rng(seed: int, ident: str) -> np.random.Generator:
+    h = np.uint64(abs(hash_str(ident)))
+    return np.random.Generator(np.random.Philox(key=[np.uint64(seed), h]))
+
+
+def hash_str(s: str) -> int:
+    """Stable 63-bit string hash (FNV-1a); Python's hash() is salted per process."""
+    h = 0xCBF29CE484222325
+    for b in s.encode():
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h & 0x7FFFFFFFFFFFFFFF
+
+
+def track_pcm(track_id: str, dur_ms: int = 20_000, seed: int = 42) -> np.ndarray:
+    """Deterministic 'song': a note every _NOTE_MS from a 12-tone scale,
+    two simultaneous voices, float32 PCM in [-1, 1] at SR_HZ."""
+    rng = _id_rng(seed, track_id)
+    n = int(SR_HZ * dur_ms / 1000)
+    t = np.arange(n, dtype=np.float64) / SR_HZ
+    pcm = np.zeros(n, dtype=np.float64)
+    n_notes = dur_ms // _NOTE_MS
+    note_len = int(SR_HZ * _NOTE_MS / 1000)
+    for v in range(2):  # two voices
+        freqs = rng.choice(_SCALE_HZ, size=n_notes) * (2.0 if v else 1.0)
+        for i, f in enumerate(freqs):
+            s = i * note_len
+            e = min(s + note_len, n)
+            seg = t[s:e]
+            env = np.hanning(2 * (e - s))[: e - s]  # attack/decay
+            pcm[s:e] += 0.35 * env * np.sin(2 * np.pi * f * seg)
+    return pcm.astype(np.float32)
+
+
+def transcript_for(clip_id: str, seed: int = 42) -> str:
+    rng = _id_rng(seed, "tx:" + clip_id)
+    return " ".join(rng.choice(np.array(_WORDS), size=8))
+
+
+def clip_row(
+    clip_id: str,
+    track_ids: list[str],
+    seed: int = 42,
+    p_noise: float = 0.3,
+    codec_name: str = "pcm_s16le",
+) -> tuple:
+    """Deterministic clip: excerpt of a track (70%) or pure noise (30%)."""
+    rng = _id_rng(seed, clip_id)
+    dur_ms = int(rng.integers(3000, 8001))
+    n = int(SR_HZ * dur_ms / 1000)
+    is_noise = rng.random() < p_noise
+    if is_noise:
+        pcm = (0.1 * rng.standard_normal(n)).astype(np.float32)
+    else:
+        tid = track_ids[int(rng.integers(0, len(track_ids)))]
+        track = track_pcm(tid, seed=seed)
+        max_off = max(len(track) - n, 1)
+        off = int(rng.integers(0, max_off))
+        pcm = track[off : off + n].copy()
+        pcm += (0.01 * rng.standard_normal(len(pcm))).astype(np.float32)
+    raw = codec.encode(np.clip(pcm, -1.0, 1.0), codec_name)
+    event_ms = 1_700_000_000_000 + hash_str(clip_id) % 600_000  # 10-min spread
+    return (
+        clip_id,
+        raw,
+        SR_HZ,
+        dur_ms,
+        codec_name,
+        transcript_for(clip_id, seed),
+        int(event_ms),
+    )
+
+
+def ground_truth_for(clip_id: str, track_ids: list[str], seed: int = 42):
+    """(is_noise, track_id, offset_ms, float32 pcm before codec) for tests."""
+    rng = _id_rng(seed, clip_id)
+    dur_ms = int(rng.integers(3000, 8001))
+    n = int(SR_HZ * dur_ms / 1000)
+    is_noise = rng.random() < 0.3
+    if is_noise:
+        pcm = (0.1 * rng.standard_normal(n)).astype(np.float32)
+        return True, None, None, np.clip(pcm, -1.0, 1.0)
+    tid = track_ids[int(rng.integers(0, len(track_ids)))]
+    track = track_pcm(tid, seed=seed)
+    max_off = max(len(track) - n, 1)
+    off = int(rng.integers(0, max_off))
+    pcm = track[off : off + n].copy()
+    pcm += (0.01 * rng.standard_normal(len(pcm))).astype(np.float32)
+    return False, tid, int(off * 1000 / SR_HZ), np.clip(pcm, -1.0, 1.0)
+
+
+def default_track_ids(n_tracks: int = 8) -> list[str]:
+    return [f"track_{i:04d}" for i in range(n_tracks)]
+
+
+def clips(
+    spark: SparkSession,
+    n_clips: int = 64,
+    n_tracks: int = 8,
+    seed: int = 42,
+    codec_name: str = "pcm_s16le",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed clip table: ids fan out over tasks, PCM synthesized in-task."""
+    track_ids = default_track_ids(n_tracks)
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 4)
+    ids = spark.range(n_clips).repartition(parts)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [
+                clip_row(f"clip_{int(i):08d}", track_ids, seed, codec_name=codec_name)
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "clip_id",
+                    "bytes",
+                    "sr_hz",
+                    "dur_ms",
+                    "codec",
+                    "transcript",
+                    "event_ms",
+                ],
+            )
+
+    return ids.mapInPandas(gen, schema.CLIP)
+
+
+def tracks(spark: SparkSession, n_tracks: int = 8, seed: int = 42) -> DataFrame:
+    """Reference 'song' table (index build side)."""
+    track_ids = default_track_ids(n_tracks)
+    ids = spark.createDataFrame([(t,) for t in track_ids], "track_id string").repartition(
+        min(n_tracks, 8)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for tid in pdf["track_id"]:
+                pcm = track_pcm(tid, seed=seed)
+                rows.append(
+                    (
+                        tid,
+                        codec.encode(pcm, "pcm_s16le"),
+                        SR_HZ,
+                        int(len(pcm) * 1000 / SR_HZ),
+                        "pcm_s16le",
+                        "",
+                        0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "clip_id",
+                    "bytes",
+                    "sr_hz",
+                    "dur_ms",
+                    "codec",
+                    "transcript",
+                    "event_ms",
+                ],
+            )
+
+    return ids.mapInPandas(gen, schema.CLIP).withColumnRenamed("clip_id", "track_id")

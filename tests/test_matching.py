@@ -1,0 +1,74 @@
+"""End-to-end audio match tests vs synthesizer ground truth.
+
+Every non-noise clip is an excerpt of a known track at a known offset;
+every noise clip must be rejected. This mirrors the reference's
+golden-output strategy (committed JSONL outputs) with a deterministic
+seed instead of wall-clock capture.
+"""
+
+import numpy as np
+import pytest
+
+from sparkfp import codec, dsp, matching, synth
+
+N_TRACKS = 5
+N_CLIPS = 30
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    return matching.build_index(synth.tracks(spark, n_tracks=N_TRACKS)).cache()
+
+
+@pytest.fixture(scope="module")
+def clips(spark):
+    return synth.clips(spark, n_clips=N_CLIPS, n_tracks=N_TRACKS).cache()
+
+
+@pytest.fixture(scope="module")
+def truth():
+    tids = synth.default_track_ids(N_TRACKS)
+    return {
+        f"clip_{i:08d}": synth.ground_truth_for(f"clip_{i:08d}", tids)
+        for i in range(N_CLIPS)
+    }
+
+
+def test_decode_invariant_snr_and_transcript(spark, clips, truth):
+    """input_hint: decoded-PCM allclose (SNR >= 30 dB) + transcript equality."""
+    for r in clips.collect():
+        is_noise, _, _, gt_pcm = truth[r.clip_id]
+        decoded = codec.decode(bytes(r.bytes), r.codec)
+        assert len(decoded) == len(gt_pcm)
+        assert codec.snr_db(gt_pcm, decoded) >= 30.0
+        assert r.transcript == synth.transcript_for(r.clip_id)
+
+
+def test_landmark_extraction_deterministic_and_nonempty(spark, clips):
+    lm1 = dsp.landmarks(clips).toPandas().sort_values(["clip_id", "hash", "t_ms"])
+    lm2 = dsp.landmarks(clips).toPandas().sort_values(["clip_id", "hash", "t_ms"])
+    assert len(lm1) > 0
+    assert np.array_equal(lm1[["hash", "t_ms"]].values, lm2[["hash", "t_ms"]].values)
+    # every clip fans out to many landmarks (reference flatMap analog)
+    per_clip = lm1.groupby("clip_id").size()
+    assert per_clip.min() > 50
+
+
+def test_match_pipeline_against_ground_truth(spark, clips, index, truth):
+    res = {r.clip_id: r for r in matching.match_pipeline(clips, index).collect()}
+    for cid, (is_noise, tid, off, _) in truth.items():
+        if is_noise:
+            assert cid not in res, f"noise clip {cid} matched {res.get(cid)}"
+        else:
+            assert cid in res, f"clip {cid} (track {tid} @ {off}ms) not matched"
+            assert res[cid].matched_track == tid
+            # offset recovered within one hop + one bin
+            assert abs(res[cid].offset_ms - off) <= 200
+            assert res[cid].vote_count >= matching.MIN_VOTES
+            assert res[cid].score >= matching.MIN_SCORE
+
+
+def test_match_rows_deterministic(spark, clips, index):
+    a = sorted(map(tuple, matching.match_pipeline(clips, index).collect()))
+    b = sorted(map(tuple, matching.match_pipeline(clips, index).collect()))
+    assert a == b
