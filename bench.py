@@ -1,0 +1,116 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "clips_per_sec": ...}
+
+The audio graft throughput (clips fingerprinted+matched per second —
+the BASELINE.json north metric) is measured over a deterministic
+synthesized clip corpus through the full streaming pipeline
+(decode -> landmarks -> index join -> session vote -> exactly-once
+sink). The N-vs-4N scaling evidence lives in bench/run_scaling.py
+(writes BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from sparkfp.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline queries: one per operator family, all scale-relevant at sf0.1
+HEADLINE = [
+    "fingerprint_stats",
+    "pricing_summary",
+    "interval_join",
+    "broadcast_join",
+    "topk_per_group",
+    "sessionize",
+    "run_state",
+    "hampel",
+    "dedup_exact",
+    "minhash_signatures",
+    "simhash",
+    "text_quality",
+    "ann_topk",
+]
+
+N_BENCH_CLIPS = int(os.environ.get("SPARKFP_BENCH_CLIPS", "192"))
+
+
+def _run_query(spark, fn) -> float:
+    t0 = time.time()
+    # count() drains the whole plan without driver-side materialization
+    fn(spark, SF_DIR).count()
+    return time.time() - t0
+
+
+def _audio_throughput(spark) -> tuple[float, float]:
+    """Full streaming graft pipeline; returns (clips/s, elapsed_s)."""
+    from sparkfp import matching, streaming, synth
+    from sparkfp.sink import ExactlyOnceParquetSink
+
+    tmp = tempfile.mkdtemp(prefix="sparkfp_bench_")
+    try:
+        src, sink_dir, ckpt = (
+            os.path.join(tmp, "src"),
+            os.path.join(tmp, "sink"),
+            os.path.join(tmp, "ckpt"),
+        )
+        index = matching.build_index(synth.tracks(spark, n_tracks=8)).cache()
+        index.count()  # build the index outside the timed window
+        clips = synth.clips(spark, n_clips=N_BENCH_CLIPS, n_tracks=8)
+        streaming.write_stream_source(clips, src, n_files=8)
+        stream = streaming.read_clip_stream(spark, src, max_files_per_trigger=2)
+        sink = ExactlyOnceParquetSink(sink_dir)
+        t0 = time.time()
+        q = streaming.match_stream(stream, index, sink, ckpt)
+        q.awaitTermination(600)
+        elapsed = time.time() - t0
+        return N_BENCH_CLIPS / elapsed, elapsed
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    spark = get_spark("sparkfp-bench")
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        try:
+            timings[name] = round(_run_query(spark, queries[name]), 3)
+        except Exception as e:  # a failed query shows as -1, not a crash
+            sys.stderr.write(f"bench {name} failed: {e}\n")
+            timings[name] = -1.0
+    clips_per_sec, audio_sec = _audio_throughput(spark)
+    timings["audio_match_stream"] = round(audio_sec, 3)
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "clips_per_sec": round(clips_per_sec, 2),
+                "n_bench_clips": N_BENCH_CLIPS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

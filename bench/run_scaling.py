@@ -1,0 +1,115 @@
+"""N-vs-4N scaling harness (BASELINE.json criterion: throughput
+scaling efficiency >= 0.8 from N to 4N executors).
+
+This sandbox has no multi-node cluster, so — per the driver's
+instruction — the two cluster sizes are evidenced as two parallelism
+levels of the *identical* job + input: local[8] (N) vs local[32] (4N),
+each in its own JVM via `spark-submit --py-files sparkfp.zip`
+(the north rule's launch mode). Results land in BENCH/BASELINE.md.
+
+Usage: python bench/run_scaling.py [--clips 384]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def zip_engine(out_path: str) -> None:
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(REPO, "sparkfp")
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+
+
+def spark_submit(cores: int, clips: int, zip_path: str) -> dict:
+    import pyspark
+
+    submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    cmd = [
+        submit,
+        "--master", f"local[{cores}]",
+        "--py-files", zip_path,
+        "--conf", "spark.ui.enabled=false",
+        os.path.join(REPO, "bench", "throughput_job.py"),
+        "--cores", str(cores),
+        "--clips", str(clips),
+    ]
+    env = dict(os.environ)
+    env.pop("PYSPARK_GATEWAY_PORT", None)
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=1800, env=env, cwd=REPO
+    )
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and "clips_per_sec" in line:
+            return json.loads(line)
+    sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
+    raise RuntimeError(f"no result line from spark-submit at local[{cores}]")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clips", type=int, default=384)
+    ap.add_argument("--n", type=int, default=8)
+    args = ap.parse_args()
+
+    zip_path = os.path.join(REPO, "bench", "sparkfp.zip")
+    zip_engine(zip_path)
+
+    r_n = spark_submit(args.n, args.clips, zip_path)
+    r_4n = spark_submit(args.n * 4, args.clips, zip_path)
+    eff = r_4n["clips_per_sec"] / (4 * r_n["clips_per_sec"])
+    speedup = r_4n["clips_per_sec"] / r_n["clips_per_sec"]
+    result = {
+        "n_cores": args.n,
+        "4n_cores": args.n * 4,
+        "clips": args.clips,
+        "throughput_n": r_n["clips_per_sec"],
+        "throughput_4n": r_4n["clips_per_sec"],
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(result))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            f"""# BENCH — measured engine numbers
+
+## Scaling (north rule: efficiency >= 0.8 from N to 4N)
+
+Same job (streaming clip match: decode -> landmark extraction ->
+index hash-join -> session-window offset vote -> exactly-once sink),
+same deterministic input ({args.clips} clips, 8 tracks, seed 42),
+launched via `spark-submit --py-files sparkfp.zip` at two parallelism
+levels standing in for N and 4N executors (no real cluster in this
+sandbox, per driver instruction).
+
+| run | master | clips/s | elapsed s |
+|---|---|---|---|
+| bench-N | local[{args.n}] | {r_n['clips_per_sec']} | {r_n['elapsed_s']} |
+| bench-4N | local[{args.n * 4}] | {r_4n['clips_per_sec']} | {r_4n['elapsed_s']} |
+
+**speedup 4N/N = {speedup:.2f}x; scaling efficiency = {eff:.3f}**
+(criterion: >= 0.8)
+
+Per-partition lineage: {r_n['lineage_batches']} micro-batches at N,
+{r_4n['lineage_batches']} at 4N; source offsets captured per batch via
+StreamingQueryProgress (sparkfp.metrics) and the checkpoint offset log.
+"""
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Scaling-harness worker: the full audio match streaming job at a
+given parallelism, launched via spark-submit --py-files sparkfp.zip
+(the north rule's launch mode).
+
+    spark-submit --master local[N] --py-files sparkfp.zip \
+        bench/throughput_job.py --cores N --clips 384
+
+Prints one JSON line: {"cores": N, "clips": M, "elapsed_s": T,
+"clips_per_sec": M/T, "lineage_batches": B}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import tempfile
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--clips", type=int, default=384)
+    ap.add_argument("--tracks", type=int, default=8)
+    args = ap.parse_args()
+
+    from sparkfp import matching, metrics, streaming, synth
+    from sparkfp.session import get_spark
+    from sparkfp.sink import ExactlyOnceParquetSink
+
+    spark = get_spark(f"sparkfp-scale-{args.cores}", cores=args.cores)
+    tmp = tempfile.mkdtemp(prefix=f"sparkfp_scale_{args.cores}_")
+    try:
+        src = os.path.join(tmp, "src")
+        sink_dir = os.path.join(tmp, "sink")
+        ckpt = os.path.join(tmp, "ckpt")
+
+        index = matching.build_index(synth.tracks(spark, n_tracks=args.tracks)).cache()
+        index.count()
+        clips = synth.clips(
+            spark, n_clips=args.clips, n_tracks=args.tracks,
+            partitions=max(args.cores * 2, 8),
+        )
+        streaming.write_stream_source(clips, src, n_files=8)
+
+        stream = streaming.read_clip_stream(spark, src, max_files_per_trigger=2)
+        sink = ExactlyOnceParquetSink(sink_dir)
+        t0 = time.time()
+        q = streaming.match_stream(stream, index, sink, ckpt)
+        q.awaitTermination(900)
+        elapsed = time.time() - t0
+        lineage = metrics.collect_lineage(q)
+        print(
+            json.dumps(
+                {
+                    "cores": args.cores,
+                    "clips": args.clips,
+                    "elapsed_s": round(elapsed, 3),
+                    "clips_per_sec": round(args.clips / elapsed, 3),
+                    "lineage_batches": len(lineage),
+                    "rows_seen": sum(r["rows"] or 0 for r in lineage),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

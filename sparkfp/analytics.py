@@ -1,0 +1,144 @@
+"""Analytic operators: Hampel outlier filter, pivot/resample,
+value-counts rollup, rolling stats.
+
+Reference semantics (cited into /root/reference):
+- Hampel filter: replace x where |x - rolling_median| >
+  n_sigmas * 1.4826 * rolling_MAD with the rolling median; skip
+  where MAD <= 0 or NaN (src/data_input/helpers.py:104-122); adaptive
+  window from median sampling interval (process_odr.py:879-922).
+- pivot long->wide, mean of duplicates (process_odr.py:934-936)
+- resample 1-min mean (process_odr.py:941)
+- value_counts + percentage rollup (helpers.py:737-747)
+
+Spark notes: Spark >= 3.4 cannot run `median` with a window *frame*
+(only whole-partition), so rolling median/MAD use
+``sort_array(collect_list(...))`` over the frame with exact
+middle-element math — same mean-of-two-middles rule as
+pandas/statistics.median. Frames are small (the reference uses ~7-min
+windows at 1-min cadence), so the per-row array is bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window, WindowSpec
+
+MAD_K = 1.4826  # gaussian consistency constant (same as reference)
+
+
+def _exact_median(arr: Column) -> Column:
+    s = F.sort_array(F.filter(arr, lambda x: x.isNotNull()))
+    n = F.size(s)
+    lo = F.element_at(s, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(s, (n / 2).cast("int") + 1)
+    return F.when(n > 0, (lo + hi) / 2)
+
+
+def rolling_median(col: str, w: WindowSpec) -> Column:
+    return _exact_median(F.collect_list(F.col(col)).over(w))
+
+
+def hampel(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    ts_col: str,
+    window_size: int = 7,
+    n_sigmas: float = 3.0,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Centered-window Hampel filter (helpers.py:104-122).
+
+    window_size rows total (centered, min_periods=1 like the
+    reference's pandas rolling); outliers replaced by the rolling
+    median; rows where MAD <= 0 are left untouched.
+    """
+    out_col = out_col or value_col
+    half = window_size // 2
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col)
+        .rowsBetween(-half, window_size - half - 1)
+    )
+    # two passes, exactly like the reference (helpers.py:110-112):
+    # dev_i = |x_i - rolling_median_i|, then MAD_i = rolling median of
+    # the dev series over the same centered window.
+    med = _exact_median(F.collect_list(F.col(value_col)).over(w))
+    df = df.withColumn("__med", med).withColumn(
+        "__dev", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    mad = _exact_median(F.collect_list(F.col("__dev")).over(w))
+    df = df.withColumn("__thr", F.lit(n_sigmas) * F.lit(MAD_K) * mad)
+    is_outlier = (
+        F.col("__thr").isNotNull()
+        & (F.col("__thr") > 0)
+        & (F.col("__dev") > F.col("__thr"))
+    )
+    return df.withColumn(
+        out_col, F.when(is_outlier, F.col("__med")).otherwise(F.col(value_col))
+    ).drop("__med", "__dev", "__thr")
+
+
+def adaptive_window_points(df: DataFrame, key_cols: list[str], ts_col: str,
+                           window_minutes: float) -> DataFrame:
+    """Points-per-window from the median sampling interval
+    (reference process_odr.py:879-922): window_pts =
+    window_minutes / median(dt_minutes), per key."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    dt = F.unix_timestamp(ts_col) - F.lag(F.unix_timestamp(ts_col)).over(w)
+    per_key = (
+        df.withColumn("_dt", dt)
+        .groupBy(*key_cols)
+        .agg(F.median("_dt").alias("_med_dt"))
+        .withColumn(
+            "window_pts",
+            F.greatest(
+                F.lit(3),
+                F.round(F.lit(window_minutes * 60) / F.col("_med_dt")).cast("int"),
+            ),
+        )
+        .drop("_med_dt")
+    )
+    return df.join(F.broadcast(per_key), key_cols, "left")
+
+
+def pivot_wide(
+    df: DataFrame,
+    index_col: str,
+    pivot_col: str,
+    value_col: str,
+    pivot_values: list[str] | None = None,
+) -> DataFrame:
+    """Long -> wide, mean of duplicates (reference pivot_table,
+    process_odr.py:934-936). Pass pivot_values to skip the extra
+    distinct-scan Spark otherwise runs to discover columns."""
+    g = df.groupBy(index_col)
+    p = g.pivot(pivot_col, pivot_values) if pivot_values else g.pivot(pivot_col)
+    return p.agg(F.avg(value_col))
+
+
+def resample_mean(
+    df: DataFrame, ts_col: str, key_cols: list[str], value_cols: list[str],
+    interval: str = "1 minute",
+) -> DataFrame:
+    """Time-bucketed mean (reference resample('1min').mean(),
+    process_odr.py:941): one aggregation, bucket = window start."""
+    bucket = F.window(ts_col, interval).getField("start").alias("bucket")
+    return (
+        df.groupBy(bucket, *key_cols)
+        .agg(*[F.avg(c).alias(c) for c in value_cols])
+    )
+
+
+def value_counts_pct(df: DataFrame, col: str) -> DataFrame:
+    """Counts + percentage of total, sorted desc
+    (reference failure-mode rollup, helpers.py:737-747)."""
+    counts = df.groupBy(col).agg(F.count("*").alias("count"))
+    total = Window.partitionBy()
+    return (
+        counts.withColumn(
+            "pct", F.round(F.col("count") * 100.0 / F.sum("count").over(total), 2)
+        )
+        .orderBy(F.desc("count"), F.asc(col))
+    )

@@ -108,7 +108,11 @@ def windowed_stats(
     agg = df.groupBy(
         F.window("event_time", window).alias("win"), "equip_id", "sensor_id"
     ).agg(F.collect_list("value").alias("vals"))
+    # keep the `win` event-time column: the fingerprint rollup is a second
+    # (chained) streaming aggregation, and Spark propagates the watermark
+    # only through the window column itself.
     return agg.select(
+        "win",
         F.unix_millis(F.col("win.start")).alias("start_ms"),
         F.unix_millis(F.col("win.end")).alias("end_ms"),
         "equip_id",
@@ -129,8 +133,10 @@ def to_fingerprints(stats: DataFrame) -> DataFrame:
         F.struct("min", "max", "median", "mean", "std_dev").alias("value"),
     )
     return (
-        stats.groupBy("start_ms", "end_ms", "equip_id")
+        stats.groupBy("win", "equip_id")
         .agg(F.map_from_entries(F.sort_array(F.collect_list(entry))).alias("data"))
+        .withColumn("start_ms", F.unix_millis(F.col("win.start")))
+        .withColumn("end_ms", F.unix_millis(F.col("win.end")))
         .select(
             F.sha2(
                 F.concat_ws(":", F.col("equip_id"), F.col("start_ms")), 256

@@ -1,0 +1,311 @@
+"""Tests for training-data pipeline operators: dedup, similarity,
+text analysis, multimodal plumbing, analytics (hampel/pivot/resample),
+joins — each vs a small pandas/numpy oracle.
+"""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkfp import analytics, dedup, joins, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+        "completely different text about spark engines",
+        "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+        "der hund und die katze sind mit dem ball",      # German-ish
+        "le chat et le chien sont dans la maison pour un jour",  # French-ish
+        "one two three four five six seven eight nine ten",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(base)), "text": base})
+    return spark.createDataFrame(pdf), pdf
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def test_exact_dedup(spark, docs):
+    df, pdf = docs
+    groups = dedup.exact_duplicate_groups(df, "doc_id", "text").toPandas()
+    assert groups.n_dups.sum() == len(pdf)
+    dup_group = groups[groups.n_dups == 2]
+    assert len(dup_group) == 1 and dup_group.keeper_id.iloc[0] == 0
+    kept = dedup.exact_dedup(df, "doc_id", "text").toPandas()
+    assert set(kept.doc_id) == {0, 1, 2, 4, 5, 6}
+
+
+def test_minhash_matches_python_md5(spark, docs):
+    df, pdf = docs
+    sig = df.select(
+        "doc_id", dedup.minhash_signature("text", n_hashes=4, k=2).alias("sig")
+    ).toPandas()
+    # python oracle for doc 0
+    toks = pdf.text[0].split()
+    sh = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+    for i in range(4):
+        exp = min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in sh)
+        got = sig[sig.doc_id == 0].sig.iloc[0][i]
+        assert got == exp
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    df, pdf = docs
+    cand = dedup.minhash_lsh_candidates(df, "doc_id", "text", n_hashes=16, n_bands=8)
+    pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert (0, 3) in pairs  # exact dups always collide
+    assert (0, 1) in pairs or (1, 3) in pairs  # near-dup collides in >=1 band
+    verified = dedup.jaccard_pairs(
+        df, "doc_id", "text", threshold=0.5, k=1, candidates=cand
+    ).toPandas()
+    got = {(r.id_a, r.id_b): r.jaccard for _, r in verified.iterrows()}
+    assert got[(0, 3)] == 1.0
+    assert 0.5 <= got[(0, 1)] < 1.0
+
+
+def test_jaccard_matches_python(spark, docs):
+    df, pdf = docs
+    out = dedup.jaccard_pairs(df, "doc_id", "text", threshold=0.0, k=1).toPandas()
+    for _, r in out.iterrows():
+        sa = set(pdf.text[r.id_a].split())
+        sb = set(pdf.text[r.id_b].split())
+        exp = len(sa & sb) / len(sa | sb)
+        assert np.isclose(r.jaccard, exp), (r.id_a, r.id_b)
+
+
+def test_simhash_matches_python(spark, docs):
+    df, pdf = docs
+    got = dedup.simhash(df, "doc_id", "text").toPandas().set_index("doc_id")
+    for did, txt in zip(pdf.doc_id, pdf.text):
+        votes = np.zeros(32)
+        for tok in set(txt.split()):
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            for b in range(32):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        exp = sum(2**b for b in range(32) if votes[b] > 0)
+        assert got.loc[did, "simhash"] == exp
+    # exact dups share simhash; near-dups are closer than unrelated docs
+    sh = got.simhash
+    assert sh[0] == sh[3]
+    ham = lambda a, b: bin(int(a) ^ int(b)).count("1")
+    assert ham(sh[0], sh[1]) < ham(sh[0], sh[2])
+    # chunk-pruned candidate join is complete within its contract
+    # (hamming <= n_chunks - 1 = 3 guarantees a shared chunk)
+    pairs = dedup.simhash_near_pairs(
+        dedup.simhash(df, "doc_id", "text"), "doc_id", max_hamming=3
+    ).toPandas()
+    got_pairs = {(r.id_a, r.id_b): r.hamming for _, r in pairs.iterrows()}
+    assert got_pairs[(0, 3)] == 0
+    exp_close = {
+        (a, b)
+        for a in range(7)
+        for b in range(a + 1, 7)
+        if ham(sh[a], sh[b]) <= 3
+    }
+    assert set(got_pairs) == exp_close
+
+
+def test_embedding_near_pairs(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0]),  # near 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "id long, v array<double>")
+    out = dedup.embedding_near_pairs(df, "id", "v", threshold=0.95).toPandas()
+    assert set(zip(out.id_a, out.id_b)) == {(0, 1)}
+
+
+# ------------------------------------------------------------------ similarity
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.Generator(np.random.Philox(key=[1, 0]))
+    V = rng.standard_normal((30, 8)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, V[i].tolist()) for i in range(30)], "id long, v array<double>"
+    )
+    queries = df.filter("id < 3")
+    got = similarity.brute_force_topk(df, queries, "id", "v", k=4).toPandas()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn @ Vn.T
+    for qid in range(3):
+        s = sims[qid].copy()
+        s[qid] = -np.inf
+        order = sorted(range(30), key=lambda j: (-round(s[j], 6), j))[:4]
+        grp = got[got.query_id == qid].sort_values("rank")
+        assert list(grp.neighbor_id) == order
+
+
+def test_lsh_topk_high_recall(spark):
+    rng = np.random.Generator(np.random.Philox(key=[2, 0]))
+    V = rng.standard_normal((100, 8))
+    df = spark.createDataFrame(
+        [(i, V[i].tolist()) for i in range(100)], "id long, v array<double>"
+    )
+    queries = df.filter("id < 5")
+    exact = similarity.brute_force_topk(df, queries, "id", "v", k=3).toPandas()
+    approx = similarity.lsh_topk(
+        df, queries, "id", "v", dim=8, k=3, n_planes=6, n_tables=4
+    ).toPandas()
+    # recall@3 of the approximate search
+    hits = 0
+    for qid in range(5):
+        e = set(exact[exact.query_id == qid].neighbor_id)
+        a = set(approx[approx.query_id == qid].neighbor_id)
+        hits += len(e & a)
+    assert hits / 15 >= 0.6
+
+
+# ------------------------------------------------------------------ text
+
+
+def test_quality_and_tokens(spark, docs):
+    df, pdf = docs
+    out = text.quality_score(df, "text").toPandas().set_index("doc_id")
+    for did, txt in zip(pdf.doc_id, pdf.text):
+        assert out.loc[did, "n_tokens"] == len(txt.split())
+        assert 0 <= out.loc[did, "quality_score"] <= 1
+    # a high-stopword English sentence scores above a stopword-free list
+    assert out.loc[0, "quality_score"] > out.loc[6, "quality_score"]
+
+
+def test_lang_id(spark, docs):
+    df, _ = docs
+    out = text.lang_id(df, "text").toPandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[4, "lang_pred"] == "de"
+    assert out.loc[5, "lang_pred"] == "fr"
+
+
+def test_winnow_fingerprints_match_python(spark, docs):
+    df, pdf = docs
+    k, w = 8, 4
+    got = text.winnow_fingerprints(df, "doc_id", "text", k=k, w=w).toPandas()
+    for did, txt in zip(pdf.doc_id, pdf.text):
+        n = max(len(txt) - k + 1, 1)
+        hashes = [
+            int(hashlib.md5(txt[i : i + k].encode()).hexdigest()[:8], 16)
+            for i in range(n)
+        ]
+        exp = {min(hashes[i : i + w]) for i in range(len(hashes))}
+        assert set(got[got.doc_id == did].fingerprint) == exp
+    # dup docs share fingerprints
+    f0 = set(got[got.doc_id == 0].fingerprint)
+    f3 = set(got[got.doc_id == 3].fingerprint)
+    assert f0 == f3
+
+
+# ------------------------------------------------------------------ multimodal
+
+
+def test_byte_features_and_frame_stub(spark):
+    rows = [
+        ("m1", bytes(range(256)), "image", "jpeg", None, None, None),
+        ("m2", b"\x00" * 100, "image", "png", None, None, None),
+        ("m3", np.arange(50, dtype="<i2").tobytes(), "audio", "pcm_s16le",
+         None, None, 50),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA)
+    bf = multimodal.byte_features(media).toPandas().set_index("media_id")
+    assert bf.loc["m1", "byte_entropy"] == pytest.approx(8.0)
+    assert bf.loc["m2", "zero_ratio"] == 1.0
+    assert bf.loc["m1", "n_bytes"] == 256
+
+    ff = multimodal.frame_sample_features(media).toPandas().set_index("media_id")
+    assert ff.loc["m3", "decoded"]  # real audio decode
+    assert ff.loc["m1", "decoded"]  # deterministic fake for image
+    ff2 = multimodal.frame_sample_features(
+        media, deterministic_fake=False
+    ).toPandas().set_index("media_id")
+    assert not ff2.loc["m1", "decoded"]  # stub clearly reports undecodable
+
+
+# ------------------------------------------------------------------ analytics
+
+
+def test_hampel_matches_pandas(spark):
+    rng = np.random.Generator(np.random.Philox(key=[3, 0]))
+    vals = rng.standard_normal(60).cumsum()
+    vals[10] += 50  # inject spikes
+    vals[40] -= 40
+    pdf = pd.DataFrame(
+        {
+            "k": "A",
+            "ts": pd.date_range("2026-01-01", periods=60, freq="1min"),
+            "v": vals,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        analytics.hampel(df, "v", ["k"], "ts", window_size=7, n_sigmas=3.0,
+                         out_col="clean")
+        .orderBy("ts")
+        .toPandas()
+    )
+    # pandas oracle (reference helpers.py:104-122)
+    s = pdf.v
+    med = s.rolling(7, center=True, min_periods=1).median()
+    mad = (s - med).abs().rolling(7, center=True, min_periods=1).median()
+    sigma = 1.4826 * mad
+    outlier = (mad > 0) & ((s - med).abs() > 3.0 * sigma)
+    exp = s.where(~outlier, med)
+    assert np.allclose(got.clean.values, exp.values)
+    assert outlier.sum() >= 2  # the spikes were caught
+    assert not np.allclose(got.clean.values, vals)
+
+
+def test_pivot_resample_value_counts(spark):
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:00:10", "2026-01-01 00:00:50",
+                 "2026-01-01 00:01:10", "2026-01-01 00:01:40"]
+            ),
+            "param": ["a", "a", "a", "b"],
+            "value": [1.0, 3.0, 5.0, 7.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    wide = analytics.pivot_wide(df, "ts", "param", "value").toPandas()
+    assert wide.shape == (4, 3)
+    res = (
+        analytics.resample_mean(
+            df.withColumnRenamed("value", "v"), "ts", ["param"], ["v"]
+        )
+        .orderBy("bucket", "param")
+        .toPandas()
+    )
+    assert list(res.v) == [2.0, 5.0, 7.0]  # min-bucket means
+    vc = analytics.value_counts_pct(df, "param").toPandas()
+    assert list(vc["param"]) == ["a", "b"]
+    assert list(vc.pct) == [75.0, 25.0]
+
+
+def test_interval_and_asof_joins(spark):
+    facts = spark.createDataFrame(
+        [("k1", 5), ("k1", 15), ("k1", 25), ("k2", 5)], "k string, ts long"
+    )
+    ivals = spark.createDataFrame(
+        [("k1", 0, 10, "w1"), ("k1", 20, 30, "w2"), ("k2", 100, 200, "w3")],
+        "k string, start long, end long, name string",
+    )
+    out = joins.interval_join(facts, ivals, "k", "ts", "start", "end").collect()
+    got = {(r["name"], r["ts"]) for r in out}
+    assert got == {("w1", 5), ("w2", 25)}
+
+    left = spark.createDataFrame([("k1", 10), ("k1", 21)], "k string, ts long")
+    right = spark.createDataFrame(
+        [("k1", 5, "a"), ("k1", 20, "b"), ("k1", 22, "c")],
+        "k string, rts long, val string",
+    )
+    asof = joins.as_of_join(left, right, "k", "ts", "rts").collect()
+    got = {(r["ts"], r["val"]) for r in asof}
+    assert got == {(10, "a"), (21, "b")}

@@ -1,0 +1,115 @@
+"""Source/sink round-trips: CSV with IST offset (S6/E12), JSONL (S8),
+exactly-once sink replay behavior, stream-stream interval join (J1)."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkfp import joins, sources
+from sparkfp.sink import ExactlyOnceParquetSink
+
+
+def test_csv_ist_roundtrip(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "timestamp": pd.date_range("2026-01-01", periods=5, freq="1min"),
+            "TAG_A": [1.0, 2.0, 3.0, 4.0, 5.0],
+            "RUNNING_FLAG": [True] * 5,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "csv")
+    sources.save_csv_ist(df, path, "timestamp")
+    back = sources.load_csv_ist(spark, path, "timestamp").orderBy("timestamp")
+    got = back.toPandas()
+    assert "RUNNING_FLAG" not in got.columns  # dropped on reload
+    assert list(got.timestamp) == list(pdf.timestamp)  # offset round-trips
+    assert list(got.TAG_A) == list(pdf.TAG_A)
+    # on-disk CSV really is shifted +05:30
+    raw = spark.read.option("header", True).csv(path).toPandas()
+    assert raw.timestamp.iloc[0].startswith("2026-01-01T05:30")
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    path = str(tmp_path / "jl")
+    sources.write_jsonl(df, path)
+    files = [f for f in os.listdir(path) if f.endswith(".json")]
+    assert files
+    back = sources.read_jsonl(spark, path, "id long, s string")
+    assert {(r.id, r.s) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_exactly_once_sink_skips_committed_batch(spark, tmp_path):
+    sink = ExactlyOnceParquetSink(str(tmp_path / "t"))
+    df1 = spark.createDataFrame([(1,)], "x long")
+    df2 = spark.createDataFrame([(2,)], "x long")
+    sink(df1, 0)
+    sink(df2, 0)  # replay of batch 0 with different data must be a no-op
+    vals = {r.x for r in sink.read(spark).collect()}
+    assert vals == {1}
+    sink(df2, 1)
+    vals = {r.x for r in sink.read(spark).collect()}
+    assert vals == {1, 2}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """J1 streaming: readings joined to fingerprint windows with
+    watermark-bounded state (save_fingerprints.py:66-153 analog)."""
+    from sparkfp import streaming
+
+    base = 1_700_000_000_000
+    readings = [("E", base + i * 10_000) for i in range(60)]  # 10 min of data
+    windows = [
+        ("E", base + w * 60_000, base + (w + 1) * 60_000) for w in range(10)
+    ]
+    rdir, wdir = str(tmp_path / "r"), str(tmp_path / "w")
+    rdf = spark.createDataFrame(readings, "equip string, ts_ms long")
+    wdf = spark.createDataFrame(windows, "equip string, start_ms long, end_ms long")
+    streaming.write_stream_source(rdf, rdir, n_files=3, order_col="ts_ms")
+    streaming.write_stream_source(wdf, wdir, n_files=2, order_col="end_ms")
+
+    r = (
+        spark.readStream.schema("equip string, ts_ms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rdir)
+        .withColumn("ts", F.timestamp_millis("ts_ms"))
+    )
+    w = (
+        spark.readStream.schema("equip string, start_ms long, end_ms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(wdir)
+        .withColumn("start_ts", F.timestamp_millis("start_ms"))
+        .withColumn("end_ts", F.timestamp_millis("end_ms"))
+    )
+    joined = joins.interval_join_stream(
+        r, w, "equip", "ts", "start_ts", "end_ts",
+        facts_watermark="2 minutes", intervals_watermark="2 minutes",
+    ).select(F.col("f.ts_ms").alias("ts_ms"), F.col("iv.start_ms").alias("start_ms"))
+    out_dir = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {(r.ts_ms, r.start_ms) for r in spark.read.parquet(out_dir).collect()}
+    exp = {
+        (ts, s)
+        for _, ts in readings
+        for _, s, e in windows
+        if s <= ts < e
+    }
+    # stream-stream inner join emits only watermark-safe matches; all
+    # emitted rows must be correct and cover everything the final
+    # watermark closed (trailing windows may be withheld)
+    assert got <= exp
+    final_wm = base + 59 * 10_000 - 120_000
+    closed = {(ts, s) for (ts, s) in exp if s + 60_000 <= final_wm}
+    assert closed <= got
+    assert len(got) > 0

@@ -1,0 +1,171 @@
+"""Streak-trigger and run-state machine tests vs literal oracles.
+
+Oracles are verbatim ports of the reference's per-row loops:
+- streak trigger: process_odr.py:269-303 (fire at first row where
+  accumulated True-duration >= duration_s; reset on False)
+- run-state machine: process_odr.py:1028-1084
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkfp import stateful, streaks
+
+
+def _streak_oracle(ts_list, flags, duration_s, step_s=60.0):
+    """Reference loop: returns indices where an alarm fires."""
+    fired, cum, prev_ts, active = [], 0.0, None, False
+    for i, (ts, flag) in enumerate(zip(ts_list, flags)):
+        dt = (ts - prev_ts).total_seconds() if prev_ts is not None else step_s
+        prev_ts = ts
+        if flag:
+            cum += dt
+            if cum >= duration_s and not active:
+                fired.append(i)
+                active = True
+        else:
+            cum = 0.0
+            active = False
+    return fired
+
+
+@pytest.fixture(scope="module")
+def flag_frame(spark):
+    ts = pd.date_range("2026-01-01", periods=60, freq="1min")
+    flags = [False] * 5 + [True] * 10 + [False] * 3 + [True] * 2 + [False] * 10 + [True] * 30
+    pdf = pd.DataFrame({"k": "E1", "timestamp": ts, "active": flags,
+                        "duration_s": 300})
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_streak_trigger_matches_oracle(spark, flag_frame):
+    df, pdf = flag_frame
+    got = streaks.streak_triggers(
+        df, ["k"], "timestamp", "active", "duration_s"
+    ).toPandas()
+    exp_idx = _streak_oracle(list(pdf.timestamp), list(pdf.active), 300)
+    exp_ts = set(pdf.timestamp.iloc[exp_idx])
+    assert set(got.timestamp) == exp_ts
+    assert len(got) == len(exp_idx) > 0
+
+
+def test_streak_duration_resets(spark, flag_frame):
+    df, pdf = flag_frame
+    out = (
+        streaks.with_streak_duration(df, ["k"], "timestamp", "active")
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    assert (out.loc[~out.active, "streak_s"] == 0).all()
+    # first row of the 30-long streak restarts accumulation
+    tail = out.iloc[-30:]
+    assert tail.streak_s.iloc[0] == 60.0
+    assert tail.streak_s.is_monotonic_increasing
+
+
+def _run_state_oracle(ts_list, running, shutdown_s, transition_s, step_s=60.0):
+    st, down_since, start_since = "RUNNING", None, None
+    labels = []
+    for ts, run in zip(ts_list, running):
+        ts_ms = int(ts.timestamp() * 1000)
+        if not run:
+            start_since = None
+            if down_since is None:
+                down_since = ts_ms
+            if st != "SHUTDOWN" and ts_ms - down_since >= shutdown_s * 1000:
+                st = "SHUTDOWN"
+            labels.append("SHUTDOWN" if st == "SHUTDOWN" else "RUNNING")
+        else:
+            if st == "SHUTDOWN":
+                st, start_since = "STARTING", ts_ms
+            down_since = None
+            if st == "STARTING" and ts_ms - start_since >= transition_s * 1000:
+                st, start_since = "RUNNING", None
+            labels.append(st)
+    return labels
+
+
+@pytest.fixture(scope="module")
+def run_frame(spark):
+    ts = pd.date_range("2026-01-01", periods=120, freq="1min")
+    running = (
+        [True] * 20          # running
+        + [False] * 30       # long outage -> SHUTDOWN after 10 min
+        + [True] * 40        # restart -> STARTING for 15 min, then RUNNING
+        + [False] * 5        # short dip (< shutdown window) -> stays RUNNING
+        + [True] * 25
+    )
+    pdf = pd.DataFrame({"k": "E1", "timestamp": ts, "running": running})
+    pdf["ts_ms"] = (pdf.timestamp.astype("int64") // 10**6)
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_run_state_batch_matches_oracle(spark, run_frame):
+    df, pdf = run_frame
+    got = (
+        stateful.run_state_batch(
+            df, ["k"], "timestamp", "running",
+            shutdown_window_s=600, transition_window_s=900,
+        )
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    exp = _run_state_oracle(list(pdf.timestamp), list(pdf.running), 600, 900)
+    mismatches = [
+        (i, g, e)
+        for i, (g, e) in enumerate(zip(got.run_state, exp))
+        if g != e
+    ]
+    assert not mismatches, mismatches[:10]
+
+
+def test_run_state_stream_matches_batch(spark, run_frame, tmp_path):
+    df, pdf = run_frame
+    from sparkfp import streaming
+    from sparkfp.sink import ExactlyOnceParquetSink
+
+    src_dir, sink_dir, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    )
+    streaming.write_stream_source(
+        df.select("k", "ts_ms", "running"), src_dir, n_files=4, order_col="ts_ms"
+    )
+    src = (
+        spark.readStream.schema("k string, ts_ms long, running boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    labeled = stateful.run_state_stream(
+        src, "k", "ts_ms", "running",
+        shutdown_window_s=600, transition_window_s=900,
+    )
+    sink = ExactlyOnceParquetSink(sink_dir)
+    q = (
+        labeled.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sink.read(spark).orderBy("ts_ms").toPandas()
+    exp = _run_state_oracle(list(pdf.timestamp), list(pdf.running), 600, 900)
+    assert len(got) == len(exp)
+    assert list(got.run_state) == exp
+
+
+def test_rising_edge_dedup(spark):
+    alarms = spark.createDataFrame(
+        [("E1", "r1"), ("E1", "r2"), ("E2", "r1")], "equip string, rule_id string"
+    )
+    prev = spark.createDataFrame(
+        [("E1", "r1", True), ("E1", "r2", False), ("E2", "r1", False)],
+        "equip string, rule_id string, active boolean",
+    )
+    out = stateful.dedup_rising_edge_batch(alarms, prev, ["equip", "rule_id"])
+    got = {(r.equip, r.rule_id) for r in out.collect()}
+    assert got == {("E1", "r2"), ("E2", "r1")}  # E1/r1 was already active
+    nxt = stateful.alert_state_from(out, alarms, ["equip", "rule_id"]).collect()
+    state = {(r.equip, r.rule_id): r.active for r in nxt}
+    assert state[("E1", "r2")] and state[("E2", "r1")] and not state[("E1", "r1")]

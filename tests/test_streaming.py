@@ -1,0 +1,195 @@
+"""Streaming semantics tests.
+
+Append-mode contract (matches Flink's on-watermark firing for the same
+input + watermark — SURVEY §7.5.5): a window's row is emitted exactly
+once, after the watermark passes its end; the trailing window stays
+open until later data advances the watermark. Equivalence assertions
+are therefore two-sided:
+
+  1. every emitted row equals the batch pipeline's row for that key
+     (no spurious rows, no duplicates), and
+  2. every window the final watermark closed is present.
+"""
+
+import time
+
+import pytest
+
+from sparkfp import fingerprint, matching, metrics, streaming, synth
+from sparkfp.sink import ExactlyOnceParquetSink
+
+START_MS = 1_700_000_000_000
+
+
+@pytest.fixture()
+def tmpdirs(tmp_path):
+    return {
+        "src": str(tmp_path / "src"),
+        "sink": str(tmp_path / "sink"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def _assert_stream_vs_batch(got_rows, exp_by_key, closed_end_ms):
+    keys = [(r.equip_id, r.start_ms) for r in got_rows]
+    assert len(keys) == len(set(keys)), "append mode must emit each window once"
+    for r in got_rows:
+        assert r.data == exp_by_key[(r.equip_id, r.start_ms)], (r.equip_id, r.start_ms)
+    missing = [
+        k for k, _ in exp_by_key.items() if k[1] + 60_000 <= closed_end_ms
+    ]
+    missing = [k for k in missing if k not in set(keys)]
+    assert not missing, f"closed windows absent from sink: {missing}"
+
+
+def test_stream_equals_batch_fingerprints(spark, tmpdirs):
+    n_seconds = 240
+    events = synth.sensor_events(spark, n_seconds=n_seconds, start_ms=START_MS)
+    streaming.write_stream_source(events, tmpdirs["src"], n_files=6)
+    src = streaming.read_sensor_stream(spark, tmpdirs["src"])
+    sink = ExactlyOnceParquetSink(tmpdirs["sink"])
+    q = streaming.fingerprint_stream(src, sink, tmpdirs["ckpt"])
+    q.awaitTermination(300)
+
+    got = sink.read(spark).collect()
+    exp = {
+        (r.equip_id, r.start_ms): r.data
+        for r in fingerprint.pipeline(spark.read.parquet(tmpdirs["src"])).collect()
+    }
+    final_watermark = START_MS + (n_seconds - 1) * 1000 - 10_000
+    _assert_stream_vs_batch(got, exp, final_watermark)
+    assert len(got) > 0
+
+
+def test_streaming_lineage_captured(spark, tmpdirs):
+    events = synth.sensor_events(spark, n_seconds=120, start_ms=START_MS)
+    streaming.write_stream_source(events, tmpdirs["src"], n_files=4)
+    src = streaming.read_sensor_stream(spark, tmpdirs["src"])
+    sink = ExactlyOnceParquetSink(tmpdirs["sink"])
+    q = streaming.fingerprint_stream(src, sink, tmpdirs["ckpt"])
+    q.awaitTermination(300)
+    lineage = metrics.collect_lineage(q)
+    data_batches = [row for row in lineage if (row["rows"] or 0) > 0]
+    assert len(data_batches) >= 2  # multiple micro-batches
+    assert all(row["end_offset"] is not None for row in data_batches)
+    assert sum(row["rows"] or 0 for row in lineage) == events.count()
+    # durable per-partition lineage in the checkpoint offset log
+    offsets = metrics.checkpoint_offsets(tmpdirs["ckpt"])
+    assert len(offsets) >= 2
+
+
+def test_late_rows_dropped_by_watermark(spark, tmpdirs, tmp_path):
+    """A row older than the watermark, arriving in a later micro-batch,
+    must not alter an already-emitted window (Flink drop-late parity)."""
+    import os
+
+    from sparkfp import schema
+
+    base = START_MS - START_MS % 60_000  # window-aligned
+    on_time = [("E", base + i * 1000, {"s": "1.0"}) for i in range(120)]
+    late = [("E", base + 5_000, {"s": "1000.0"})]  # 115 s late; watermark 10 s
+    os.makedirs(tmpdirs["src"], exist_ok=True)
+    sink = ExactlyOnceParquetSink(tmpdirs["sink"])
+    src = streaming.read_sensor_stream(spark, tmpdirs["src"], max_files_per_trigger=2)
+    fps = fingerprint.pipeline(src, watermark=fingerprint.WATERMARK)
+    q = (
+        fps.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tmpdirs["ckpt"])
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        spark.createDataFrame(on_time, schema.SENSOR_EVENT).coalesce(1).write.mode(
+            "append"
+        ).parquet(tmpdirs["src"])
+        q.processAllAvailable()  # watermark -> base+110s; window [base,base+60s) emitted
+        spark.createDataFrame(late, schema.SENSOR_EVENT).coalesce(1).write.mode(
+            "append"
+        ).parquet(tmpdirs["src"])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    rows = sink.read(spark).collect()
+    first = [r for r in rows if r.start_ms == base]
+    assert len(first) == 1, "window must be emitted exactly once"
+    assert first[0].data["s"]["max"] == 1.0, "late 1000.0 row must be dropped"
+
+
+def test_exactly_once_resume_from_checkpoint(spark, tmpdirs):
+    """Stop mid-stream, restart from the same checkpoint: the sink has
+    no duplicates and every emitted row matches the batch oracle."""
+    n_seconds = 240
+    events = synth.sensor_events(spark, n_seconds=n_seconds, start_ms=START_MS)
+    streaming.write_stream_source(events, tmpdirs["src"], n_files=8)
+    sink = ExactlyOnceParquetSink(tmpdirs["sink"])
+
+    src = streaming.read_sensor_stream(spark, tmpdirs["src"])
+    fps = fingerprint.pipeline(src, watermark=fingerprint.WATERMARK)
+    q1 = (
+        fps.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tmpdirs["ckpt"])
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    while len(q1.recentProgress) < 2:
+        time.sleep(0.2)
+    q1.stop()  # kill mid-stream
+    q1.awaitTermination(60)
+
+    src2 = streaming.read_sensor_stream(spark, tmpdirs["src"])
+    q2 = streaming.fingerprint_stream(src2, sink, tmpdirs["ckpt"])
+    q2.awaitTermination(300)
+
+    got = sink.read(spark).collect()
+    exp = {
+        (r.equip_id, r.start_ms): r.data
+        for r in fingerprint.pipeline(spark.read.parquet(tmpdirs["src"])).collect()
+    }
+    final_watermark = START_MS + (n_seconds - 1) * 1000 - 10_000
+    _assert_stream_vs_batch(got, exp, final_watermark)
+
+
+def test_match_stream_equals_batch(spark, tmpdirs):
+    """Session-windowed streaming matcher == batch matcher, with a
+    sentinel clip advancing the watermark to close all real sessions."""
+    index = matching.build_index(synth.tracks(spark, n_tracks=4)).cache()
+    clips = synth.clips(spark, n_clips=20, n_tracks=4).cache()
+    streaming.write_stream_source(clips, tmpdirs["src"], n_files=5)
+    sink = ExactlyOnceParquetSink(tmpdirs["sink"])
+    src = streaming.read_clip_stream(spark, tmpdirs["src"])
+    q = streaming.match_stream(
+        src, index, sink, tmpdirs["ckpt"], available_now=False
+    )
+    try:
+        q.processAllAvailable()
+        # sentinel: a far-future clip pushes the watermark past every
+        # real session's close (stream keeps flowing in production)
+        sentinel = synth.clips(spark, n_clips=1, n_tracks=4).selectExpr(
+            "'sentinel' as clip_id",
+            "bytes",
+            "sr_hz",
+            "dur_ms",
+            "codec",
+            "transcript",
+            "event_ms + 3600000 as event_ms",
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(tmpdirs["src"])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    got = {
+        r.clip_id: (r.matched_track, r.offset_ms, r.vote_count)
+        for r in sink.read(spark).collect()
+        if r.clip_id != "sentinel"
+    }
+    exp = {
+        r.clip_id: (r.matched_track, r.offset_ms, r.vote_count)
+        for r in matching.match_pipeline(clips, index).collect()
+    }
+    assert got == exp
