@@ -746,6 +746,59 @@ GROUP BY 1, 2
 """
 
 
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 sliding variant: 2-hour windows sliding by 1 hour."""
+    from sparkfp import windows as W_
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            W_.sliding("ts", "2 hours", "1 hour").alias("win"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("win_start_s"),
+            "event_type", "n", "avg_value",
+        )
+    )
+
+
+SQL_SLIDING_WINDOWS = """
+SELECT CAST(epoch(ws) AS BIGINT) AS win_start_s, event_type,
+       COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+FROM (
+  SELECT UNNEST([date_trunc('hour', ts),
+                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+         event_type, value
+  FROM events
+)
+GROUP BY ws, event_type
+"""
+
+
+def q_salted_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase windowed count (skew-aware hash-agg; the salting
+    is internal — results equal a plain windowed count)."""
+    from sparkfp import windows as W_
+
+    ev = _t(spark, sf_dir, "events")
+    out = W_.salted_windowed_count(
+        ev, "event_type", "ts", "1 hour",
+        salt_buckets=8, salt_source="event_id",
+    )
+    return out.select(
+        F.unix_timestamp(F.col("win.start")).alias("win_start_s"),
+        "event_type", "n",
+    )
+
+
+SQL_SALTED_WINDOW_COUNT = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start_s,
+       event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 # ===================================================================
 # training-data pipeline ops (documents / embeddings)
 # ===================================================================
@@ -1116,6 +1169,8 @@ _QUERIES: dict[str, tuple[Callable, str | None]] = {
     "streak_triggers": (q_streak_triggers, SQL_STREAK_TRIGGERS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "run_state": (q_run_state, SQL_RUN_STATE),
+    "sliding_windows": (q_sliding_windows, SQL_SLIDING_WINDOWS),
+    "salted_window_count": (q_salted_window_count, SQL_SALTED_WINDOW_COUNT),
     # training-data ops
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signatures": (q_minhash_signatures, _sql_minhash()),

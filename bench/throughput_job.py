@@ -22,8 +22,10 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, required=True)
-    ap.add_argument("--clips", type=int, default=384)
+    ap.add_argument("--clips", type=int, default=2048)
     ap.add_argument("--tracks", type=int, default=8)
+    ap.add_argument("--files", type=int, default=8)
+    ap.add_argument("--files-per-trigger", type=int, default=2)
     args = ap.parse_args()
 
     from sparkfp import matching, metrics, streaming, synth
@@ -43,9 +45,11 @@ def main() -> None:
             spark, n_clips=args.clips, n_tracks=args.tracks,
             partitions=max(args.cores * 2, 8),
         )
-        streaming.write_stream_source(clips, src, n_files=8)
+        streaming.write_stream_source(clips, src, n_files=args.files)
 
-        stream = streaming.read_clip_stream(spark, src, max_files_per_trigger=2)
+        stream = streaming.read_clip_stream(
+            spark, src, max_files_per_trigger=args.files_per_trigger
+        )
         sink = ExactlyOnceParquetSink(sink_dir)
         t0 = time.time()
         q = streaming.match_stream(stream, index, sink, ckpt)

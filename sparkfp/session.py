@@ -47,7 +47,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # clip rows carry ~100 KB binary payloads: cap Arrow batches so a
+        # pandas batch stays ~25 MB, not gigabytes
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARKFP_DRIVER_MEM", "8g"))
         # RocksDB-backed streaming state (north_star: "RocksDB-style state");

@@ -114,6 +114,7 @@ def match_stream(
     min_votes: int = matching.MIN_VOTES,
     min_score: float = matching.MIN_SCORE,
     available_now: bool = True,
+    decode_partitions: int | None = None,
 ) -> StreamingQuery:
     """The graft streaming job: clip stream -> landmarks -> stream-static
     hash join against the index -> per-session offset voting -> match rows.
@@ -123,8 +124,15 @@ def match_stream(
     — the streaming analog of the reference's "emit once per streak"
     rising-edge state (process_odr.py:1131-1145): one final match row
     per clip session, emitted on window close (append mode).
+
+    ``decode_partitions``: micro-batches of small files coalesce into
+    very few scan partitions (Spark packs to maxPartitionBytes), which
+    would serialize the DSP stage; an explicit repartition fans the
+    decode/extract work across the cluster. On Iceberg the bucket
+    layout provides this for free; default = 2x default parallelism.
     """
-    lm = dsp.landmarks(clips).withColumn(
+    n_dec = decode_partitions or 2 * clips.sparkSession.sparkContext.defaultParallelism
+    lm = dsp.landmarks(clips.repartition(n_dec)).withColumn(
         "event_time", F.timestamp_millis(F.col("event_ms"))
     )
     joined = lm.withWatermark("event_time", watermark).join(

@@ -29,7 +29,7 @@ def test_csv_ist_roundtrip(spark, tmp_path):
     assert list(got.TAG_A) == list(pdf.TAG_A)
     # on-disk CSV really is shifted +05:30
     raw = spark.read.option("header", True).csv(path).toPandas()
-    assert raw.timestamp.iloc[0].startswith("2026-01-01T05:30")
+    assert raw.timestamp.min().startswith("2026-01-01T05:30")
 
 
 def test_jsonl_roundtrip(spark, tmp_path):
