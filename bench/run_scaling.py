@@ -60,15 +60,34 @@ def spark_submit(cores: int, clips: int, zip_path: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--clips", type=int, default=384)
+    ap.add_argument("--clips", type=int, default=3072)
     ap.add_argument("--n", type=int, default=8)
+    ap.add_argument(
+        "--leg", choices=["n", "4n", "both", "merge"], default="both",
+        help="run one leg (result cached to bench/leg_*.json), or merge cached legs",
+    )
     args = ap.parse_args()
 
     zip_path = os.path.join(REPO, "bench", "sparkfp.zip")
-    zip_engine(zip_path)
+    leg_n_path = os.path.join(REPO, "bench", "leg_n.json")
+    leg_4n_path = os.path.join(REPO, "bench", "leg_4n.json")
 
-    r_n = spark_submit(args.n, args.clips, zip_path)
-    r_4n = spark_submit(args.n * 4, args.clips, zip_path)
+    if args.leg in ("n", "4n", "both"):
+        zip_engine(zip_path)
+    if args.leg in ("n", "both"):
+        r_n = spark_submit(args.n, args.clips, zip_path)
+        with open(leg_n_path, "w") as f:
+            json.dump(r_n, f)
+    if args.leg in ("4n", "both"):
+        r_4n = spark_submit(args.n * 4, args.clips, zip_path)
+        with open(leg_4n_path, "w") as f:
+            json.dump(r_4n, f)
+    if args.leg in ("n", "4n"):
+        return
+    with open(leg_n_path) as f:
+        r_n = json.load(f)
+    with open(leg_4n_path) as f:
+        r_4n = json.load(f)
     eff = r_4n["clips_per_sec"] / (4 * r_n["clips_per_sec"])
     speedup = r_4n["clips_per_sec"] / r_n["clips_per_sec"]
     result = {
@@ -91,7 +110,7 @@ def main() -> None:
 
 Same job (streaming clip match: decode -> landmark extraction ->
 index hash-join -> session-window offset vote -> exactly-once sink),
-same deterministic input ({args.clips} clips, 8 tracks, seed 42),
+same deterministic input ({r_n['clips']} clips, 8 tracks, seed 42),
 launched via `spark-submit --py-files sparkfp.zip` at two parallelism
 levels standing in for N and 4N executors (no real cluster in this
 sandbox, per driver instruction).

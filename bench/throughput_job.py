@@ -25,14 +25,24 @@ def main() -> None:
     ap.add_argument("--clips", type=int, default=2048)
     ap.add_argument("--tracks", type=int, default=8)
     ap.add_argument("--files", type=int, default=8)
-    ap.add_argument("--files-per-trigger", type=int, default=2)
+    ap.add_argument("--files-per-trigger", type=int, default=4)
+    # state-store/shuffle partition count is FIXED across cluster sizes:
+    # streaming state partitioning is a property of the query, not the
+    # cluster; scaling runs must only vary compute (otherwise the 4N run
+    # pays 4x the per-batch state-store open/commit overhead and the
+    # comparison measures RocksDB instance count, not throughput).
+    ap.add_argument("--shuffle-partitions", type=int, default=32)
     args = ap.parse_args()
 
     from sparkfp import matching, metrics, streaming, synth
     from sparkfp.session import get_spark
     from sparkfp.sink import ExactlyOnceParquetSink
 
-    spark = get_spark(f"sparkfp-scale-{args.cores}", cores=args.cores)
+    spark = get_spark(
+        f"sparkfp-scale-{args.cores}",
+        cores=args.cores,
+        shuffle_partitions=args.shuffle_partitions,
+    )
     tmp = tempfile.mkdtemp(prefix=f"sparkfp_scale_{args.cores}_")
     try:
         src = os.path.join(tmp, "src")

@@ -30,12 +30,12 @@ from pyspark.sql.window import Window
 from . import dsp
 
 OFFSET_BIN_MS = 100
-# Measured separation on the synthetic corpus: true matches score
-# >= 1.6 votes/landmark with thousands of votes; noise clips peak at
-# ~19 votes / 0.013. Thresholds sit two orders of magnitude inside
-# the gap.
-MIN_VOTES = 25
-MIN_SCORE = 0.1
+# Measured separation on the synthetic corpus (768 clips, 8 tracks):
+# true matches: >= 1543 votes, score (votes/sec of audio) >= 468;
+# noise clips: <= 28 votes, score <= 5.8. Thresholds sit roughly an
+# order of magnitude inside the gap on each side.
+MIN_VOTES = 200
+MIN_SCORE = 50.0
 
 
 def build_index(tracks: DataFrame) -> DataFrame:
@@ -69,11 +69,15 @@ def match(
     min_votes: int = MIN_VOTES,
     min_score: float = MIN_SCORE,
     broadcast_index: bool = True,
+    clip_meta: DataFrame | None = None,
 ) -> DataFrame:
     """Probe landmarks against the index; emit one best match per clip.
 
-    (clip_id, matched_track, offset_ms, vote_count, score) where score
-    = votes / clip's total landmark count. Noise clips fail min_votes.
+    (clip_id, matched_track, offset_ms, vote_count[, score]) where
+    score = votes per second of clip audio (needs ``clip_meta`` with
+    (clip_id, dur_ms); joined only against the tiny match result, so
+    the landmark branch is computed exactly once — no second
+    extraction pass). Noise clips fail min_votes / min_score.
     """
     idx = F.broadcast(index) if broadcast_index else index
     joined = landmarks.join(idx, "hash").select(
@@ -86,7 +90,6 @@ def match(
     votes = joined.groupBy("clip_id", "track_id", "offset_bin").agg(
         F.count("*").alias("vote_count")
     )
-    clip_totals = landmarks.groupBy("clip_id").agg(F.count("*").alias("n_landmarks"))
     w = Window.partitionBy("clip_id").orderBy(
         F.desc("vote_count"), F.asc("track_id"), F.asc("offset_bin")
     )
@@ -95,16 +98,20 @@ def match(
         .filter(F.col("rn") == 1)
         .drop("rn")
         .filter(F.col("vote_count") >= min_votes)
-    )
-    return (
-        best.join(clip_totals, "clip_id")
         .select(
             "clip_id",
             F.col("track_id").alias("matched_track"),
             (F.col("offset_bin") * bin_ms).alias("offset_ms"),
             "vote_count",
-            (F.col("vote_count") / F.col("n_landmarks")).alias("score"),
         )
+    )
+    if clip_meta is None:
+        return best
+    meta = clip_meta.select("clip_id", "dur_ms")
+    return (
+        best.join(meta, "clip_id")
+        .withColumn("score", F.col("vote_count") / (F.col("dur_ms") / 1000.0))
+        .drop("dur_ms")
         .filter(F.col("score") >= min_score)
     )
 
@@ -126,4 +133,5 @@ def match_pipeline(
         min_votes=min_votes,
         min_score=min_score,
         broadcast_index=broadcast_index,
+        clip_meta=clips,
     )

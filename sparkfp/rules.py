@@ -169,6 +169,67 @@ def _identifiers(formula: str) -> set[str]:
     } - {t.lower() for t in _SQL_FUNCS}
 
 
+_OP_TEMPLATES = {
+    ">": "{d} is greater than {v}{u}",
+    ">=": "{d} is at least {v}{u}",
+    "<": "{d} is less than {v}{u}",
+    "<=": "{d} is at most {v}{u}",
+    "==": "{d} equals {v}{u}",
+    "!=": "{d} differs from {v}{u}",
+    "abs_gt": "absolute {d} exceeds {v}{u}",
+    "between": "{d} is between {v}{u}",
+    "outside": "{d} is outside {v}{u}",
+    "deviation": "{d} deviates more than expected from {v}{u}",
+}
+
+
+def describe_check(
+    check: dict,
+    descriptions: dict[str, str] | None = None,
+    units: dict[str, str] | None = None,
+) -> str:
+    """One check -> English observation text (reference observation
+    rewrite, helpers.py:521-623: param mapped to description + UOM,
+    per-op template)."""
+    descriptions = descriptions or {}
+    units = units or {}
+    p = check["param"]
+    d = descriptions.get(p, p)
+    u = units.get(p, "")
+    u = f" {u}" if u else ""
+    v = check.get("value")
+    if isinstance(v, dict):
+        v = v.get("low", v.get("base", "")), v.get("high", v.get("pct", ""))
+        v = f"{v[0]} and {v[1]}"
+    elif isinstance(v, (list, tuple)):
+        v = f"{v[0]} and {v[1]}"
+    return _OP_TEMPLATES[check["op"]].format(d=d, v=v, u=u)
+
+
+def describe_rule(
+    rule: dict,
+    descriptions: dict[str, str] | None = None,
+    units: dict[str, str] | None = None,
+) -> str:
+    """Whole rule tree -> observation sentence joined by the group logic."""
+    logic = rule.get("logic", "AND").upper()
+    if logic == "IF":
+        return (
+            "if "
+            + describe_rule(rule["if"], descriptions, units)
+            + " then "
+            + describe_rule(rule["then"], descriptions, units)
+            + (
+                " else " + describe_rule(rule["else"], descriptions, units)
+                if rule.get("else")
+                else ""
+            )
+        )
+    parts = [describe_check(c, descriptions, units) for c in rule.get("checks", [])]
+    parts += [describe_rule(g, descriptions, units) for g in rule.get("groups", [])]
+    return f" {logic} ".join(parts)
+
+
 def evaluate_rules(
     df: DataFrame, rules: list[dict], ts_col: str = "timestamp"
 ) -> DataFrame:

@@ -58,6 +58,14 @@ def get_spark(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
+        # commit changelogs instead of full RocksDB snapshots per batch:
+        # snapshot-per-commit makes state commit time scale with
+        # (partitions x concurrent tasks) and inverts N-vs-4N scaling
+        # (measured: 150s vs 13s total commit time at 32 vs 8 cores)
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -44,6 +44,11 @@ def write_stream_source(
     import time
 
     order_col = order_col or ("ts_ms" if "ts_ms" in df.columns else "event_ms")
+    # materialize once: slicing would otherwise recompute the (possibly
+    # expensive, e.g. synthesized) upstream plan n_files + 1 times
+    staged = os.path.join(path + "_staged")
+    df.write.mode("overwrite").parquet(staged)
+    df = df.sparkSession.read.parquet(staged)
     pct = [i / n_files for i in range(1, n_files)]
     bounds = df.approxQuantile(order_col, pct, 0.001) if n_files > 1 else []
     lo = None

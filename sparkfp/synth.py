@@ -98,9 +98,6 @@ def sensor_events(
 
 SR_HZ = 8000  # one fixed rate for tracks; clips carry their own sr_hz column
 _NOTE_MS = 250
-_SCALE_HZ = np.array(
-    [220.0, 246.9, 277.2, 311.1, 329.6, 370.0, 415.3, 440.0, 493.9, 554.4, 622.3, 659.3]
-)
 
 _WORDS = (
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
@@ -123,8 +120,15 @@ def hash_str(s: str) -> int:
 
 
 def track_pcm(track_id: str, dur_ms: int = 20_000, seed: int = 42) -> np.ndarray:
-    """Deterministic 'song': a note every _NOTE_MS from a 12-tone scale,
-    two simultaneous voices, float32 PCM in [-1, 1] at SR_HZ."""
+    """Deterministic 'song': a note every _NOTE_MS, two simultaneous
+    voices, float32 PCM in [-1, 1] at SR_HZ.
+
+    Note frequencies are drawn from a continuous range (not a 12-tone
+    scale): quantizing to a scale collapses the landmark-hash space to
+    a few thousand values, which makes the match join combinatorially
+    heavier (every probe hash hits most tracks) and unrepresentative —
+    real audio spreads peaks over the full bin range.
+    """
     rng = _id_rng(seed, track_id)
     n = int(SR_HZ * dur_ms / 1000)
     t = np.arange(n, dtype=np.float64) / SR_HZ
@@ -132,7 +136,8 @@ def track_pcm(track_id: str, dur_ms: int = 20_000, seed: int = 42) -> np.ndarray
     n_notes = dur_ms // _NOTE_MS
     note_len = int(SR_HZ * _NOTE_MS / 1000)
     for v in range(2):  # two voices
-        freqs = rng.choice(_SCALE_HZ, size=n_notes) * (2.0 if v else 1.0)
+        lo, hi = (100.0, 1200.0) if v == 0 else (1200.0, 3500.0)
+        freqs = rng.uniform(lo, hi, size=n_notes)
         for i, f in enumerate(freqs):
             s = i * note_len
             e = min(s + note_len, n)

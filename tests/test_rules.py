@@ -155,3 +155,30 @@ def test_derived_parameters_expr(spark, frame):
     got = out.select("D1").toPandas()["D1"].values
     exp = np.sqrt(np.abs(pdf.TAG_A)) + pdf.TAG_B / 2
     assert np.allclose(got, exp)
+
+
+def test_observation_text():
+    desc = {"TAG_A": "Kiln Speed", "TAG_B": "Torque"}
+    units = {"TAG_A": "RPM"}
+    rule = {
+        "rule_id": "r9",
+        "logic": "AND",
+        "checks": [
+            {"param": "TAG_A", "op": ">", "value": 4.2},
+            {"param": "TAG_B", "op": "between", "value": [10, 20]},
+        ],
+    }
+    txt = rules.describe_rule(rule, desc, units)
+    assert txt == (
+        "Kiln Speed is greater than 4.2 RPM AND Torque is between 10 and 20"
+    )
+    iftxt = rules.describe_rule(
+        {
+            "logic": "IF",
+            "if": {"checks": [{"param": "TAG_A", "op": ">", "value": 1}]},
+            "then": {"checks": [{"param": "TAG_B", "op": "<", "value": 2}]},
+        },
+        desc,
+        units,
+    )
+    assert iftxt.startswith("if Kiln Speed is greater than 1 RPM then ")
