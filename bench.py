@@ -72,10 +72,10 @@ def _audio_throughput(spark) -> tuple[float, float]:
         index.count()  # build the index outside the timed window
         clips = synth.clips(spark, n_clips=N_BENCH_CLIPS, n_tracks=8)
         streaming.write_stream_source(clips, src, n_files=8)
-        stream = streaming.read_clip_stream(spark, src, max_files_per_trigger=2)
+        stream = streaming.read_clip_stream(spark, src, max_files_per_trigger=4)
         sink = ExactlyOnceParquetSink(sink_dir)
         t0 = time.time()
-        q = streaming.match_stream(stream, index, sink, ckpt)
+        q = streaming.match_stream_fused(stream, index, sink, ckpt)
         q.awaitTermination(600)
         elapsed = time.time() - t0
         return N_BENCH_CLIPS / elapsed, elapsed

@@ -40,6 +40,7 @@ def spark_submit(cores: int, clips: int, zip_path: str) -> dict:
         submit,
         "--master", f"local[{cores}]",
         "--py-files", zip_path,
+        "--driver-memory", "24g",  # local mode: the only JVM heap knob
         "--conf", "spark.ui.enabled=false",
         os.path.join(REPO, "bench", "throughput_job.py"),
         "--cores", str(cores),

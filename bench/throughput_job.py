@@ -32,6 +32,9 @@ def main() -> None:
     # pays 4x the per-batch state-store open/commit overhead and the
     # comparison measures RocksDB instance count, not throughput).
     ap.add_argument("--shuffle-partitions", type=int, default=32)
+    # fused: per-clip-local matcher, zero shuffles (the 10^12-scale path);
+    # session: stateful session-window vote aggregation (chunked-clip path)
+    ap.add_argument("--mode", choices=["fused", "session"], default="fused")
     args = ap.parse_args()
 
     from sparkfp import matching, metrics, streaming, synth
@@ -62,7 +65,10 @@ def main() -> None:
         )
         sink = ExactlyOnceParquetSink(sink_dir)
         t0 = time.time()
-        q = streaming.match_stream(stream, index, sink, ckpt)
+        if args.mode == "fused":
+            q = streaming.match_stream_fused(stream, index, sink, ckpt)
+        else:
+            q = streaming.match_stream(stream, index, sink, ckpt)
         q.awaitTermination(900)
         elapsed = time.time() - t0
         lineage = metrics.collect_lineage(q)

@@ -116,6 +116,119 @@ def match(
     )
 
 
+def index_arrays(index: DataFrame):
+    """Collect the index into sorted numpy arrays for the fused matcher.
+
+    Returns (sorted_hashes int64, track_codes int32, track_names list,
+    t_track_ms int32). At 10^12-clip scale the index itself is still
+    small (one row per track landmark); it ships to executors once as
+    a Spark broadcast variable, exactly like the relational
+    broadcast-hash-join build side.
+    """
+    import numpy as np
+
+    pdf = index.toPandas()
+    names = sorted(pdf["track_id"].unique().tolist())
+    code = {t: i for i, t in enumerate(names)}
+    h = pdf["hash"].to_numpy(np.int64)
+    order = np.argsort(h, kind="stable")
+    return (
+        h[order],
+        pdf["track_id"].map(code).to_numpy(np.int32)[order],
+        names,
+        pdf["t_track_ms"].to_numpy(np.int64)[order],
+    )
+
+
+def match_clips_fused(
+    clips: DataFrame,
+    index: DataFrame,
+    bin_ms: int = OFFSET_BIN_MS,
+    min_votes: int = MIN_VOTES,
+    min_score: float = MIN_SCORE,
+) -> DataFrame:
+    """Fused per-clip matcher: decode -> landmarks -> index probe ->
+    offset-histogram vote -> top-1, all inside one Arrow stage.
+
+    The relational pipeline shuffles every joined vote row
+    (~25k rows/clip); since votes are aggregated per clip and a clip's
+    landmarks are computed where the clip's bytes already sit, the
+    whole match is per-partition-local given a broadcast index. Zero
+    shuffles, embarrassingly parallel — this is the scale path the
+    N-vs-4N criterion measures. `match()` remains the general path for
+    a non-broadcastable index (bucketed shuffle join).
+
+    Verified equal to the relational matcher in tests/test_matching.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from . import dsp
+
+    sc = clips.sparkSession.sparkContext
+    bc = sc.broadcast(index_arrays(index))
+    n_parts = 2 * clips.sparkSession.sparkContext.defaultParallelism
+
+    def run(batches):
+        sh, codes, names, t_track = bc.value
+        n_tracks = len(names)
+        for pdf in batches:
+            out = []
+            for cid, raw, sr, cname, dur in zip(
+                pdf["clip_id"], pdf["bytes"], pdf["sr_hz"], pdf["codec"], pdf["dur_ms"]
+            ):
+                h, t = dsp.extract_clip_landmarks(bytes(raw), cname, int(sr))
+                if len(h) == 0:
+                    continue
+                lo = np.searchsorted(sh, h, "left")
+                hi = np.searchsorted(sh, h, "right")
+                mult = hi - lo
+                if mult.sum() == 0:
+                    continue
+                cand = np.repeat(lo, mult) + _ranges_offsets(mult)
+                t_anchor = np.repeat(t.astype(np.int64), mult)
+                # trunc-toward-zero to match Spark's (x / bin).cast(long)
+                offset_bin = np.trunc(
+                    (t_track[cand] - t_anchor) / bin_ms
+                ).astype(np.int64)
+                key = codes[cand].astype(np.int64) * (1 << 32) + (
+                    offset_bin + (1 << 30)
+                )
+                uniq, counts = np.unique(key, return_counts=True)
+                best = counts.argmax()
+                # deterministic tie-break: smallest (track, offset) among max
+                ties = uniq[counts == counts[best]]
+                winner = ties.min()
+                votes = int(counts.max())
+                track = names[int(winner >> 32)]
+                off = (int(winner & 0xFFFFFFFF) - (1 << 30)) * bin_ms
+                score = votes / (int(dur) / 1000.0)
+                if votes >= min_votes and score >= min_score:
+                    out.append((cid, track, off, votes, score))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "clip_id", "matched_track", "offset_ms", "vote_count", "score"
+                ],
+            )
+
+    return clips.repartition(n_parts).mapInPandas(
+        run,
+        "clip_id string, matched_track string, offset_ms long, "
+        "vote_count long, score double",
+    )
+
+
+def _ranges_offsets(counts):
+    """[3,0,2] -> [0,1,2,0,1]: per-range local offsets, vectorized."""
+    import numpy as np
+
+    total = int(counts.sum())
+    out = np.arange(total, dtype=np.int64)
+    starts = np.repeat(np.cumsum(counts) - counts, counts)
+    return out - starts
+
+
 def match_pipeline(
     clips: DataFrame,
     index: DataFrame,

@@ -50,6 +50,10 @@ def get_spark(
         # clip rows carry ~100 KB binary payloads: cap Arrow batches so a
         # pandas batch stays ~25 MB, not gigabytes
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # same for the vectorized parquet reader: the default 4096-row
+        # columnar batch of blob rows is ~400 MB per task and OOMs a
+        # default heap (blob tables at 100 TB need this set regardless)
+        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARKFP_DRIVER_MEM", "8g"))
         # RocksDB-backed streaming state (north_star: "RocksDB-style state");

@@ -179,6 +179,35 @@ def match_stream(
     return writer.start()
 
 
+def match_stream_fused(
+    clips: DataFrame,
+    index: DataFrame,
+    sink: ExactlyOnceParquetSink,
+    checkpoint_dir: str,
+    min_votes: int = matching.MIN_VOTES,
+    min_score: float = matching.MIN_SCORE,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """High-throughput streaming matcher: the fused per-clip operator
+    (matching.match_clips_fused) over the clip stream.
+
+    A clip is one input row, so its landmarks never span micro-batches
+    — per-clip matching is complete within the batch and needs no
+    cross-batch state. Exactly-once still holds (checkpointed offsets
+    + idempotent sink). Use `match_stream` (session windows + stateful
+    vote aggregation) when clip audio arrives in multiple chunks.
+    """
+    matches = matching.match_clips_fused(
+        clips, index, min_votes=min_votes, min_score=min_score
+    )
+    writer = matches.writeStream.foreachBatch(sink).outputMode("append").option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_to_completion(query: StreamingQuery, timeout_s: int = 600) -> list[dict]:
     """Drain an availableNow query; return its per-batch progress dicts
     (per-partition lineage lives in progress['sources'][i]['startOffset'])."""

@@ -72,3 +72,38 @@ def test_match_rows_deterministic(spark, clips, index):
     a = sorted(map(tuple, matching.match_pipeline(clips, index).collect()))
     b = sorted(map(tuple, matching.match_pipeline(clips, index).collect()))
     assert a == b
+
+
+def test_fused_matcher_equals_relational(spark, clips, index):
+    """match_clips_fused (zero-shuffle Arrow path) == relational matcher."""
+    rel = {
+        r.clip_id: (r.matched_track, r.offset_ms, r.vote_count, round(r.score, 9))
+        for r in matching.match_pipeline(clips, index).collect()
+    }
+    fused = {
+        r.clip_id: (r.matched_track, r.offset_ms, r.vote_count, round(r.score, 9))
+        for r in matching.match_clips_fused(clips, index).collect()
+    }
+    assert fused == rel
+
+
+def test_fused_stream_equals_batch(spark, clips, index, tmp_path):
+    from sparkfp import streaming
+    from sparkfp.sink import ExactlyOnceParquetSink
+
+    src = str(tmp_path / "src")
+    streaming.write_stream_source(clips, src, n_files=4)
+    sink = ExactlyOnceParquetSink(str(tmp_path / "sink"))
+    q = streaming.match_stream_fused(
+        streaming.read_clip_stream(spark, src), index, sink, str(tmp_path / "ck")
+    )
+    q.awaitTermination(300)
+    got = {
+        r.clip_id: (r.matched_track, r.offset_ms, r.vote_count)
+        for r in sink.read(spark).collect()
+    }
+    exp = {
+        r.clip_id: (r.matched_track, r.offset_ms, r.vote_count)
+        for r in matching.match_pipeline(clips, index).collect()
+    }
+    assert got == exp
