@@ -32,11 +32,20 @@ def zip_engine(out_path: str) -> None:
                     z.write(full, os.path.relpath(full, REPO))
 
 
-def spark_submit(cores: int, clips: int, zip_path: str) -> dict:
+def spark_submit(cores: int, clips: int, zip_path: str, pin: bool = True) -> dict:
     import pyspark
 
     submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
-    cmd = [
+    cmd = []
+    if pin:
+        # pin the whole process tree (JVM + python workers) to exactly
+        # `cores` CPUs: local[N] limits task slots but not JVM/GC/IO
+        # threads, so an unpinned small-N run leaks extra parallelism
+        # and an unpinned large-N run oversubscribes the hypervisor —
+        # both distort the N-vs-4N comparison. Pinning makes each run a
+        # faithful stand-in for an N-core cluster allocation.
+        cmd = ["taskset", "-c", f"0-{cores - 1}"]
+    cmd += [
         submit,
         "--master", f"local[{cores}]",
         "--py-files", zip_path,

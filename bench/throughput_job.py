@@ -24,8 +24,8 @@ def main() -> None:
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--clips", type=int, default=2048)
     ap.add_argument("--tracks", type=int, default=8)
-    ap.add_argument("--files", type=int, default=8)
-    ap.add_argument("--files-per-trigger", type=int, default=4)
+    ap.add_argument("--files", type=int, default=64)
+    ap.add_argument("--files-per-trigger", type=int, default=32)
     # state-store/shuffle partition count is FIXED across cluster sizes:
     # streaming state partitioning is a property of the query, not the
     # cluster; scaling runs must only vary compute (otherwise the 4N run
@@ -72,6 +72,15 @@ def main() -> None:
         q.awaitTermination(900)
         elapsed = time.time() - t0
         lineage = metrics.collect_lineage(q)
+        import sys
+
+        for p in q.recentProgress:
+            d = json.loads(p.json)
+            dur = d.get("durationMs", {})
+            sys.stderr.write(
+                f"BATCHDIAG b={d.get('batchId')} rows={d.get('numInputRows')} "
+                f"trig={dur.get('triggerExecution')} addBatch={dur.get('addBatch')}\n"
+            )
         print(
             json.dumps(
                 {

@@ -158,6 +158,12 @@ def match_clips_fused(
     N-vs-4N criterion measures. `match()` remains the general path for
     a non-broadcastable index (bucketed shuffle join).
 
+    Parallelism comes from the SOURCE layout (Iceberg bucket(clip_id)
+    partitioning / enough files): no repartition is inserted here —
+    shuffling raw clip bytes through disk would serialize the job on
+    shared storage. Repartition upstream only if the scan yields fewer
+    partitions than cores.
+
     Verified equal to the relational matcher in tests/test_matching.py.
     """
     import numpy as np
@@ -167,7 +173,6 @@ def match_clips_fused(
 
     sc = clips.sparkSession.sparkContext
     bc = sc.broadcast(index_arrays(index))
-    n_parts = 2 * clips.sparkSession.sparkContext.defaultParallelism
 
     def run(batches):
         sh, codes, names, t_track = bc.value
@@ -212,7 +217,7 @@ def match_clips_fused(
                 ],
             )
 
-    return clips.repartition(n_parts).mapInPandas(
+    return clips.mapInPandas(
         run,
         "clip_id string, matched_track string, offset_ms long, "
         "vote_count long, score double",

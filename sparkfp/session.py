@@ -54,6 +54,11 @@ def get_spark(
         # columnar batch of blob rows is ~400 MB per task and OOMs a
         # default heap (blob tables at 100 TB need this set regardless)
         .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+        # scan split sizing for blob tables: the 128 MB default packs
+        # many small files into one partition, capping DSP parallelism
+        # at a handful of tasks regardless of cores
+        .config("spark.sql.files.maxPartitionBytes", "32m")
+        .config("spark.sql.files.openCostInBytes", "8m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARKFP_DRIVER_MEM", "8g"))
         # RocksDB-backed streaming state (north_star: "RocksDB-style state");

@@ -130,14 +130,14 @@ def match_stream(
     rising-edge state (process_odr.py:1131-1145): one final match row
     per clip session, emitted on window close (append mode).
 
-    ``decode_partitions``: micro-batches of small files coalesce into
-    very few scan partitions (Spark packs to maxPartitionBytes), which
-    would serialize the DSP stage; an explicit repartition fans the
-    decode/extract work across the cluster. On Iceberg the bucket
-    layout provides this for free; default = 2x default parallelism.
+    ``decode_partitions``: pass a partition count to repartition the
+    clip stream before decoding when the source layout under-splits
+    (micro-batches of few/large files). Default None: rely on the
+    source layout (Iceberg bucket(clip_id) / enough files) — shuffling
+    raw clip bytes costs more than it buys on shared storage.
     """
-    n_dec = decode_partitions or 2 * clips.sparkSession.sparkContext.defaultParallelism
-    lm = dsp.landmarks(clips.repartition(n_dec)).withColumn(
+    src = clips.repartition(decode_partitions) if decode_partitions else clips
+    lm = dsp.landmarks(src).withColumn(
         "event_time", F.timestamp_millis(F.col("event_ms"))
     )
     joined = lm.withWatermark("event_time", watermark).join(
