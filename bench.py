@@ -46,7 +46,7 @@ HEADLINE = [
     "ann_topk",
 ]
 
-N_BENCH_CLIPS = int(os.environ.get("SPARKFP_BENCH_CLIPS", "192"))
+N_BENCH_CLIPS = int(os.environ.get("SPARKFP_BENCH_CLIPS", "1024"))
 
 
 def _run_query(spark, fn) -> float:
