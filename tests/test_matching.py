@@ -107,3 +107,21 @@ def test_fused_stream_equals_batch(spark, clips, index, tmp_path):
         for r in matching.match_pipeline(clips, index).collect()
     }
     assert got == exp
+
+
+def test_match_with_shuffle_join_equals_broadcast(spark, clips, index):
+    """broadcast_index=False (the bucketed/shuffle-join scale path for a
+    non-broadcastable index) produces identical matches."""
+    from sparkfp import dsp
+
+    lm = dsp.landmarks(clips)
+    a = sorted(map(tuple, matching.match(lm, index, clip_meta=clips).collect()))
+    b = sorted(
+        map(
+            tuple,
+            matching.match(
+                lm, index, broadcast_index=False, clip_meta=clips
+            ).collect(),
+        )
+    )
+    assert a == b

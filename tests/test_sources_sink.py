@@ -113,3 +113,23 @@ def test_stream_stream_interval_join(spark, tmp_path):
     closed = {(ts, s) for (ts, s) in exp if s + 60_000 <= final_wm}
     assert closed <= got
     assert len(got) > 0
+
+
+def test_sink_crash_between_write_and_ledger_is_replay_safe(spark, tmp_path):
+    """Simulate a crash after the parquet write but before the ledger
+    mark: the replayed batch must overwrite cleanly (no dupes)."""
+    import os
+
+    sink = ExactlyOnceParquetSink(str(tmp_path / "t"))
+    df = spark.createDataFrame([(1,), (2,)], "x long")
+
+    # crash: parquet written, ledger mark missing
+    out = os.path.join(sink.table_path, "batch_id=0")
+    df.write.mode("overwrite").parquet(out)
+    assert not sink.is_committed(0)
+
+    # restart: Spark replays batch 0 (same id, same data)
+    sink(df, 0)
+    assert sink.is_committed(0)
+    vals = sorted(r.x for r in sink.read(spark).collect())
+    assert vals == [1, 2]
