@@ -210,7 +210,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
     )
@@ -466,16 +466,14 @@ def q_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     out = analytics.hampel(
-        ev, "value", ["user_id"], "ts", window_size=7, n_sigmas=3.0, out_col="clean"
+        ev, "value", ["user_id"], "ts", window_size=7, n_sigmas=3.0, out_col="clean",
+        order_cols=["ts", "event_id"],
     )
     return out.select("event_id", F.round("clean", 6).alias("clean"))
 
 
-# NB: DuckDB ORDER BY inside window must match Spark's orderBy("ts") —
-# ties on ts are broken by nothing in either engine, so order by
-# (ts, event_id) in BOTH; the engine call above orders by ts only,
-# so the oracle adds event_id as tiebreak and the engine query uses a
-# composite sort column. See q_hampel ordering note in tests.
+# Both engines order window frames by (ts, event_id): the composite
+# tiebreak makes the frame contents deterministic under ts ties.
 SQL_HAMPEL = """
 WITH med AS (
   SELECT event_id, user_id, ts, value,
@@ -567,13 +565,13 @@ def q_rules_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_RULES_ENGINE = """
 SELECT l_returnflag,
-       SUM(CASE WHEN l_quantity > 30 AND l_discount BETWEEN 0.05 AND 0.1
-                THEN 1 ELSE 0 END) AS n_bulk_discounted,
-       SUM(CASE WHEN (l_extendedprice < 30000 * 0.1 OR l_extendedprice > 30000 * 1.9)
-                  OR l_tax >= 0.07 THEN 1 ELSE 0 END) AS n_price_dev_or_tax,
-       SUM(CASE WHEN (l_quantity > 25 AND l_discount > 0.05)
+       CAST(SUM(CASE WHEN l_quantity > 30 AND l_discount BETWEEN 0.05 AND 0.1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk_discounted,
+       CAST(SUM(CASE WHEN (l_extendedprice < 30000 * 0.1 OR l_extendedprice > 30000 * 1.9)
+                  OR l_tax >= 0.07 THEN 1 ELSE 0 END) AS BIGINT) AS n_price_dev_or_tax,
+       CAST(SUM(CASE WHEN (l_quantity > 25 AND l_discount > 0.05)
                   OR (l_quantity > 25 AND NOT (l_discount > 0.05) AND l_tax < 0.02)
-                THEN 1 ELSE 0 END) AS n_iflogic
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_iflogic
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -622,7 +620,8 @@ def q_streak_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     trig = streaks.streak_triggers(
-        ev, ["user_id"], "ts", "hot", "duration_s", step_fallback_s=60.0
+        ev, ["user_id"], "ts", "hot", "duration_s", step_fallback_s=60.0,
+        order_cols=["ts", "event_id"],
     )
     return trig.select("user_id", "event_id")
 
@@ -704,13 +703,19 @@ def q_run_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stateful.run_state_batch(
         ev, ["user_id"], "ts", "running",
         shutdown_window_s=14400, transition_window_s=7200,
+        order_cols=["ts", "event_id"],
     )
     return out.groupBy("user_id", "run_state").agg(F.count("*").alias("n"))
 
 
+# STARTING = running rows within the transition window of the FIRST
+# running row after the last shutdown; the clock survives brief dips
+# (reference keeps start_time across not-running rows,
+# process_odr.py:1050-1065).
 SQL_RUN_STATE = """
 WITH flagged AS (
-  SELECT event_id, user_id, ts, (event_type <> 'error') AS running,
+  SELECT event_id, user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         (event_type <> 'error') AS running,
          CASE WHEN LAG(event_type <> 'error') OVER w IS NULL
                OR LAG(event_type <> 'error') OVER w <> (event_type <> 'error')
               THEN 1 ELSE 0 END AS changed
@@ -721,7 +726,7 @@ WITH flagged AS (
   FROM flagged
 ), elapsed AS (
   SELECT *,
-         CAST(floor(epoch(ts)) AS BIGINT) - FIRST_VALUE(CAST(floor(epoch(ts)) AS BIGINT))
+         ts_s - FIRST_VALUE(ts_s)
            OVER (PARTITION BY user_id, island ORDER BY ts, event_id) AS elap,
          NOT running AS down
   FROM islands
@@ -729,19 +734,26 @@ WITH flagged AS (
   SELECT *, (down AND elap >= 14400) AS is_shutdown FROM elapsed
 ), carried AS (
   SELECT *,
-         MAX(CASE WHEN is_shutdown THEN island END)
+         MAX(CASE WHEN is_shutdown THEN ts_s END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS last_shut_island
+         AS last_shut_s
   FROM shut
+), cohort AS (
+  SELECT *,
+         MIN(CASE WHEN running THEN ts_s END)
+           OVER (PARTITION BY user_id, last_shut_s ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS start_s
+  FROM carried
 )
 SELECT user_id,
        CASE WHEN is_shutdown THEN 'SHUTDOWN'
-            WHEN running AND last_shut_island = island - 1 AND elap < 7200
+            WHEN running AND last_shut_s IS NOT NULL AND ts_s - start_s < 7200
             THEN 'STARTING'
             ELSE 'RUNNING' END AS run_state,
        COUNT(*) AS n
-FROM carried
+FROM cohort
 GROUP BY 1, 2
 """
 
@@ -1039,7 +1051,8 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_STATS = """
 SELECT source,
-       SUM(len(string_split_regex(trim(lower(text)), '\\s+'))) AS total_tokens,
+       CAST(SUM(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT)
+         AS total_tokens,
        ROUND(AVG(length(text)), 4) AS avg_chars,
        COUNT(*) AS n_docs
 FROM documents GROUP BY source

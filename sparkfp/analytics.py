@@ -47,18 +47,24 @@ def hampel(
     window_size: int = 7,
     n_sigmas: float = 3.0,
     out_col: str | None = None,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Centered-window Hampel filter (helpers.py:104-122).
 
     window_size rows total (centered, min_periods=1 like the
     reference's pandas rolling); outliers replaced by the rolling
     median; rows where MAD <= 0 are left untouched.
+
+    ``order_cols`` adds deterministic tiebreak columns after ts —
+    required whenever (key, ts) is not unique, or the row-frame
+    contents (hence the output) are nondeterministic across shuffles.
     """
     out_col = out_col or value_col
     half = window_size // 2
+    order = list(order_cols) if order_cols else [ts_col]
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(ts_col)
+        .orderBy(*order)
         .rowsBetween(-half, window_size - half - 1)
     )
     # two passes, exactly like the reference (helpers.py:110-112):

@@ -97,8 +97,15 @@ def as_of_join(
     (per key). Spark lacks a native as-of join; this composes an
     interval-bounded equi-join + row_number top-1, which keeps the
     single shuffle on `key`. Used for point-in-time enrichment
-    (reference `value_at` lookup, helpers.py:480-497, W5)."""
-    l, r = left.alias("l"), right.alias("r")
+    (reference `value_at` lookup, helpers.py:480-497, W5).
+
+    The top-1 window partitions by a synthetic left-row id, not the
+    left row's columns: partitioning by every left column would ship
+    the whole (possibly wide) left row as the shuffle key and break
+    on duplicate left rows."""
+    rid = "_asof_rid"
+    l = left.withColumn(rid, F.monotonically_increasing_id()).alias("l")
+    r = right.alias("r")
     cond = (F.col(f"l.{key}") == F.col(f"r.{key}")) & (
         F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}")
     )
@@ -107,9 +114,7 @@ def as_of_join(
             F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.lit(tolerance_ms)
         )
     joined = l.join(r, cond, "left")
-    w = Window.partitionBy(*[F.col(f"l.{c}") for c in left.columns]).orderBy(
-        F.desc(F.col(f"r.{right_ts}"))
-    )
+    w = Window.partitionBy(F.col(f"l.{rid}")).orderBy(F.desc(F.col(f"r.{right_ts}")))
     return joined.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") == 1
-    ).drop("_rn")
+    ).drop("_rn", rid)

@@ -43,6 +43,7 @@ def run_state_batch(
     shutdown_window_s: int,
     transition_window_s: int,
     step_fallback_s: float = 60.0,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Label every row RUNNING / SHUTDOWN / STARTING.
 
@@ -50,43 +51,61 @@ def run_state_batch(
     partition key):
       - a row is SHUTDOWN once its not-running streak reaches
         shutdown_window_s;
-      - after a shutdown island, the next running island's first
-        transition_window_s seconds are STARTING;
+      - after a shutdown, running rows within transition_window_s of
+        the FIRST running row after that shutdown are STARTING. The
+        STARTING clock survives brief dips: the reference keeps
+        start_time across not-running rows and clears it only on a
+        full shutdown (process_odr.py:1050-1065), so a dip inside the
+        transition window neither crashes nor restarts the clock;
       - everything else is RUNNING.
+
+    ``order_cols``: deterministic tiebreak ordering (ts plus an id
+    column); required whenever (key, ts) is not unique.
     """
+    order = list(order_cols) if order_cols else [ts_col]
     down_flag = "_down"
     df = df.withColumn(down_flag, ~F.col(running_col))
-    df = streaks.with_islands(df, key_cols, ts_col, down_flag)
-    w_isl = Window.partitionBy(*key_cols, "island").orderBy(ts_col)
-    w_key = Window.partitionBy(*key_cols).orderBy(ts_col)
+    df = streaks.with_islands(df, key_cols, ts_col, down_flag, order_cols=order)
+    w_isl = Window.partitionBy(*key_cols, "island").orderBy(*order)
+    w_key = Window.partitionBy(*key_cols).orderBy(*order)
+    cum = Window.unboundedPreceding, 0
 
-    # elapsed seconds since this island began (state-machine clock:
-    # time since the first row of the down/run episode, as in the
-    # streaming form and the reference's downtime_state timestamps)
-    elapsed = F.unix_timestamp(ts_col) - F.first(F.unix_timestamp(ts_col)).over(w_isl)
-    df = df.withColumn("_elapsed", elapsed)
-
+    ts_s = F.unix_timestamp(ts_col)
+    # seconds since this down/run episode began (state-machine clock:
+    # the reference's downtime_state timestamps count from the first
+    # row of the episode)
+    df = df.withColumn("_ts_s", ts_s).withColumn(
+        "_elapsed", F.col("_ts_s") - F.first("_ts_s").over(w_isl)
+    )
     is_shutdown = F.col(down_flag) & (F.col("_elapsed") >= shutdown_window_s)
     df = df.withColumn("_shut", is_shutdown)
-    # island number of the most recent SHUTDOWN row at or before this row:
-    # a running island i is "post-shutdown" iff that number is i-1
-    # (its immediately preceding down island reached shutdown).
-    last_shut_island = F.last(
-        F.when(F.col("_shut"), F.col("island")), ignorenulls=True
-    ).over(w_key.rowsBetween(Window.unboundedPreceding, 0))
-    df = df.withColumn("_last_shut_island", last_shut_island)
+    # ts of the most recent SHUTDOWN row at or before this row (max ==
+    # last non-null because ts is monotone within the ordering)
+    df = df.withColumn(
+        "_last_shut_s",
+        F.max(F.when(F.col("_shut"), F.col("_ts_s"))).over(w_key.rowsBetween(*cum)),
+    )
+    # first running row after that shutdown = the STARTING clock origin;
+    # all rows sharing _last_shut_s form one post-shutdown cohort
+    w_cohort = Window.partitionBy(*key_cols, "_last_shut_s").orderBy(*order)
+    df = df.withColumn(
+        "_start_s",
+        F.min(F.when(~F.col(down_flag), F.col("_ts_s"))).over(
+            w_cohort.rowsBetween(*cum)
+        ),
+    )
     state = (
-        F.when(is_shutdown, F.lit(SHUTDOWN))
+        F.when(F.col("_shut"), F.lit(SHUTDOWN))
         .when(
             (~F.col(down_flag))
-            & (F.col("_last_shut_island") == F.col("island") - 1)
-            & (F.col("_elapsed") < transition_window_s),
+            & F.col("_last_shut_s").isNotNull()
+            & (F.col("_ts_s") - F.col("_start_s") < transition_window_s),
             F.lit(STARTING),
         )
         .otherwise(F.lit(RUNNING))
     )
     return df.withColumn("run_state", state).drop(
-        down_flag, "_elapsed", "_shut", "_last_shut_island", "island"
+        down_flag, "_ts_s", "_elapsed", "_shut", "_last_shut_s", "_start_s", "island"
     )
 
 
@@ -146,11 +165,14 @@ def run_state_stream(
             for ts, running in zip(pdf[ts_col], pdf[running_col]):
                 ts = int(ts)
                 if not running:
-                    start_since = None
                     if down_since is None:
                         down_since = ts
                     if st != SHUTDOWN and ts - down_since >= shutdown_window_s * 1000:
                         st = SHUTDOWN
+                        # only a full shutdown clears the STARTING clock:
+                        # the reference keeps start_time across brief dips
+                        # (process_odr.py:1050-1065)
+                        start_since = None
                     label = SHUTDOWN if st == SHUTDOWN else RUNNING
                 else:
                     if st == SHUTDOWN:
@@ -158,6 +180,8 @@ def run_state_stream(
                         start_since = ts
                     down_since = None
                     if st == STARTING:
+                        if start_since is None:  # resumed from persisted state
+                            start_since = ts
                         if ts - start_since >= transition_window_s * 1000:
                             st = RUNNING
                             start_since = None

@@ -28,15 +28,26 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _order(ts_col: str, order_cols: list[str] | None) -> list[str]:
+    """Window ordering: ts plus caller-supplied tiebreak columns.
+
+    Timestamp ties are real at scale (multiple rows per second per
+    key); without a deterministic tiebreak every window result here
+    is nondeterministic across shuffles. Callers with a unique id
+    column should always pass it."""
+    return list(order_cols) if order_cols else [ts_col]
+
+
 def with_islands(
     df: DataFrame,
     key_cols: list[str],
     ts_col: str,
     flag_col: str,
     island_col: str = "island",
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Add an island id that increments whenever `flag_col` changes."""
-    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    w = Window.partitionBy(*key_cols).orderBy(*_order(ts_col, order_cols))
     changed = (
         F.lag(flag_col).over(w).isNull()
         | (F.lag(flag_col).over(w) != F.col(flag_col))
@@ -51,14 +62,16 @@ def with_streak_duration(
     flag_col: str,
     step_fallback_s: float = 60.0,
     dur_col: str = "streak_s",
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Accumulated in-streak duration in seconds (0 where flag is False).
 
     dt for the first row of a streak falls back to `step_fallback_s`
     (reference row_duration fallback — process_odr.py:279-287)."""
-    df = with_islands(df, key_cols, ts_col, flag_col)
-    w = Window.partitionBy(*key_cols).orderBy(ts_col)
-    wi = Window.partitionBy(*key_cols, "island").orderBy(ts_col)
+    order = _order(ts_col, order_cols)
+    df = with_islands(df, key_cols, ts_col, flag_col, order_cols=order)
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    wi = Window.partitionBy(*key_cols, "island").orderBy(*order)
     dt = F.coalesce(
         F.unix_timestamp(ts_col) - F.lag(F.unix_timestamp(ts_col)).over(w),
         F.lit(step_fallback_s),
@@ -76,6 +89,7 @@ def streak_triggers(
     flag_col: str,
     duration_s_col: str = "duration_s",
     step_fallback_s: float = 60.0,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Emit ONE row per streak: the first row whose accumulated duration
     reaches the required duration (per-row column `duration_s_col`).
@@ -83,11 +97,13 @@ def streak_triggers(
     Reference: the alarm row at process_odr.py:269-303; resets when the
     condition goes False, so a long outage alarms once.
     """
+    order = _order(ts_col, order_cols)
     df = with_streak_duration(
-        df, key_cols, ts_col, flag_col, step_fallback_s=step_fallback_s
+        df, key_cols, ts_col, flag_col, step_fallback_s=step_fallback_s,
+        order_cols=order,
     )
     qualified = df.filter(F.col(flag_col) & (F.col("streak_s") >= F.col(duration_s_col)))
-    w = Window.partitionBy(*key_cols, "island").orderBy(ts_col)
+    w = Window.partitionBy(*key_cols, "island").orderBy(*order)
     return (
         qualified.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -309,3 +309,23 @@ def test_interval_and_asof_joins(spark):
     asof = joins.as_of_join(left, right, "k", "ts", "rts").collect()
     got = {(r["ts"], r["val"]) for r in asof}
     assert got == {(10, "a"), (21, "b")}
+
+
+def test_asof_join_wide_left_and_duplicate_rows(spark):
+    # the top-1 window keys on a synthetic row id, so (a) wide left rows
+    # don't become the shuffle key and (b) byte-identical duplicate left
+    # rows each keep their own match instead of collapsing to one
+    wide_cols = ", ".join(f"c{i} string" for i in range(12))
+    left = spark.createDataFrame(
+        [("k1", 10) + ("x",) * 12, ("k1", 10) + ("x",) * 12,
+         ("k1", 30) + ("y",) * 12],
+        f"k string, ts long, {wide_cols}",
+    )
+    right = spark.createDataFrame(
+        [("k1", 5, "a"), ("k1", 25, "b")], "k string, rts long, val string"
+    )
+    out = joins.as_of_join(left, right, "k", "ts", "rts").collect()
+    assert len(out) == 3
+    assert sorted((r["ts"], r["val"]) for r in out) == [
+        (10, "a"), (10, "a"), (30, "b")
+    ]

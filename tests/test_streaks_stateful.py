@@ -65,23 +65,28 @@ def test_streak_duration_resets(spark, flag_frame):
 
 
 def _run_state_oracle(ts_list, running, shutdown_s, transition_s, step_s=60.0):
+    # per-row port of the reference state machine (process_odr.py:1028-1084);
+    # note start_since survives brief dips — the reference clears start_time
+    # only on a full shutdown (process_odr.py:1050-1065)
     st, down_since, start_since = "RUNNING", None, None
     labels = []
     for ts, run in zip(ts_list, running):
         ts_ms = int(ts.timestamp() * 1000)
         if not run:
-            start_since = None
             if down_since is None:
                 down_since = ts_ms
             if st != "SHUTDOWN" and ts_ms - down_since >= shutdown_s * 1000:
-                st = "SHUTDOWN"
+                st, start_since = "SHUTDOWN", None
             labels.append("SHUTDOWN" if st == "SHUTDOWN" else "RUNNING")
         else:
             if st == "SHUTDOWN":
                 st, start_since = "STARTING", ts_ms
             down_since = None
-            if st == "STARTING" and ts_ms - start_since >= transition_s * 1000:
-                st, start_since = "RUNNING", None
+            if st == "STARTING":
+                if start_since is None:
+                    start_since = ts_ms
+                if ts_ms - start_since >= transition_s * 1000:
+                    st, start_since = "RUNNING", None
             labels.append(st)
     return labels
 
@@ -92,7 +97,9 @@ def run_frame(spark):
     running = (
         [True] * 20          # running
         + [False] * 30       # long outage -> SHUTDOWN after 10 min
-        + [True] * 40        # restart -> STARTING for 15 min, then RUNNING
+        + [True] * 5         # restart -> STARTING (15-min transition)
+        + [False] * 2        # dip DURING STARTING: clock survives, no crash
+        + [True] * 33        # STARTING until 15 min after restart, then RUNNING
         + [False] * 5        # short dip (< shutdown window) -> stays RUNNING
         + [True] * 25
     )

@@ -89,6 +89,18 @@ def main(only: list[str]) -> int:
             print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0][:160]}")
             failures += 1
             continue
+        # the driver's value-hash encodes the physical type width:
+        # DuckDB HUGEINT (SUM default) vs Spark BIGINT hash-mismatches
+        # even when values are equal — require identical dtypes so the
+        # trap is caught locally (CAST the oracle, round 1 lesson).
+        sd = {c: str(spark_pdf[c].dtype) for c in spark_pdf.columns}
+        dd = {c: str(duck_pdf[c].dtype) for c in duck_pdf.columns}
+        diff = {c: (sd.get(c), dd.get(c)) for c in set(sd) | set(dd)
+                if sd.get(c) != dd.get(c)}
+        if diff:
+            print(f"FAIL {name}: dtype mismatch (spark, duck): {diff}")
+            failures += 1
+            continue
         sc, sr = canon(spark_pdf)
         dc, dr = canon(duck_pdf)
         if sc != dc:
