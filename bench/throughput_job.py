@@ -69,10 +69,21 @@ def main() -> None:
             q = streaming.match_stream_fused(stream, index, sink, ckpt)
         else:
             q = streaming.match_stream(stream, index, sink, ckpt)
-        q.awaitTermination(900)
+        terminated = q.awaitTermination(900)
         elapsed = time.time() - t0
+        # a timed-out availableNow run would yield clips/elapsed over a
+        # partial drain and overstate throughput in BENCH/BASELINE.md
+        if not terminated:
+            raise RuntimeError("scaling leg timed out before draining the stream")
         lineage = metrics.collect_lineage(q)
         import sys
+
+        fed = sum(
+            int(json.loads(p.json).get("numInputRows") or 0)
+            for p in q.recentProgress
+        )
+        if fed != args.clips:
+            raise RuntimeError(f"scaling leg drained {fed} of {args.clips} clips")
 
         for p in q.recentProgress:
             d = json.loads(p.json)

@@ -20,8 +20,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def effective_core_cap() -> int:
+    """Max local-mode cores that actually speed this sandbox up.
+
+    The VM advertises 32 vCPUs but the hypervisor throttles parallel
+    compute above ~8-12 effective cores (identical-work numpy burn:
+    0.9 s at 1 proc, 1.1 s at 8, 2.6 s at 32 — BENCH/BASELINE.md);
+    unpinned local[32] Spark REGRESSES vs local[8]. Default cap 8,
+    override with SPARKFP_MAX_LOCAL_CORES (set it to a huge value on
+    real hardware). Explicit ``cores=`` args bypass the cap — the
+    scaling harness pins its own CPU counts.
+    """
+    return int(os.environ.get("SPARKFP_MAX_LOCAL_CORES", "8"))
+
+
 def default_parallelism() -> int:
-    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    n = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    return max(1, min(n, effective_core_cap()))
 
 
 def get_spark(
