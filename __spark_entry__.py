@@ -15,11 +15,25 @@ Conventions:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# Oracle fixtures for queries over deterministic synthesized input
+# (the audio/multimodal graft): the expected rows are precomputed once
+# by tools/gen_audio_fixtures.py and committed, so DuckDB can serve
+# them to the driver's rows/schema/value-hash gate like any other
+# oracle. tests/test_matching.py::test_audio_fixtures_current fails if
+# engine output drifts from the committed fixtures.
+FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+def _fixture_sql(name: str) -> str:
+    return f"SELECT * FROM read_parquet('{FIXTURE_DIR}/{name}_expected.parquet')"
+
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -1195,10 +1209,13 @@ _QUERIES: dict[str, tuple[Callable, str | None]] = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "embedding_near_pairs": (q_embedding_near_pairs, SQL_EMBEDDING_NEAR_PAIRS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
-    # audio graft + multimodal (non-SQL-expressible -> rows-only checks)
-    "audio_match": (q_audio_match, None),
-    "audio_landmarks": (q_audio_landmarks, None),
-    "media_byte_features": (q_media_byte_features, None),
+    # audio graft + multimodal: non-SQL pipelines over deterministic
+    # seeded synth input -> precomputed-fixture oracles (hard gate)
+    "audio_match": (q_audio_match, _fixture_sql("audio_match")),
+    "audio_landmarks": (q_audio_landmarks, _fixture_sql("audio_landmarks")),
+    "media_byte_features": (
+        q_media_byte_features, _fixture_sql("media_byte_features")
+    ),
 }
 
 

@@ -125,3 +125,25 @@ def test_match_with_shuffle_join_equals_broadcast(spark, clips, index):
         )
     )
     assert a == b
+
+
+def test_audio_fixtures_current(spark):
+    """The committed oracle fixtures (fixtures/*_expected.parquet) must
+    equal live engine output — they back the driver's hash gate for the
+    three non-SQL audio queries. On an intentional DSP/matcher change,
+    rerun tools/gen_audio_fixtures.py and review the fixture diff."""
+    import os
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in ("audio_match", "audio_landmarks", "media_byte_features"):
+        live = qs[name](spark, "/root/testdata/sf0.001").toPandas()
+        path = os.path.join(entrymod.FIXTURE_DIR, f"{name}_expected.parquet")
+        expected = pd.read_parquet(path)
+        cols = list(expected.columns)
+        live = live[cols].sort_values(cols).reset_index(drop=True)
+        expected = expected.sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(live, expected, check_dtype=True), name
