@@ -849,9 +849,15 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkfp import dedup
 
     d = _t(spark, sf_dir, "documents")
-    sig = dedup.minhash_signature("text", n_hashes=8, k=3)
-    return d.select(
-        "doc_id", *[F.element_at(sig, i + 1).alias(f"mh{i}") for i in range(8)]
+    # materialize the signature array once, then slice the column —
+    # slicing the raw expression would inline (and recompute) the full
+    # 8-way minhash per output column (see dedup.minhash_lsh_candidates)
+    sig_df = d.select(
+        "doc_id", dedup.minhash_signature("text", n_hashes=8, k=3).alias("_sig")
+    )
+    return sig_df.select(
+        "doc_id",
+        *[F.element_at(F.col("_sig"), i + 1).alias(f"mh{i}") for i in range(8)],
     )
 
 
@@ -874,35 +880,82 @@ SELECT doc_id, {mins} FROM sh
 """
 
 
+_JACCARD_LSH = dict(n_hashes=16, n_bands=4, threshold=0.5)
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram (token) Jaccard near-dup pairs >= 0.5."""
+    """Token-set Jaccard near-dup pairs >= 0.5, MinHash-LSH pruned:
+    candidate pairs share >= 1 of 4 signature bands (equi-join on
+    (band_idx, band_hash)); each candidate is verified by exact
+    array_intersect Jaccard. No raw-token self-join anywhere — the
+    token key space is Zipf-skewed (stopword keys are planet-hot) and
+    quadratic in document frequency. The oracle mirrors the banding
+    exactly, so the comparison is exact."""
     from sparkfp import dedup
 
     d = _t(spark, sf_dir, "documents")
-    out = dedup.jaccard_pairs(d, "doc_id", "text", threshold=0.5, k=1)
+    p = _JACCARD_LSH
+    cand = dedup.minhash_lsh_candidates(
+        d, "doc_id", "text", n_hashes=p["n_hashes"], n_bands=p["n_bands"], k=1
+    )
+    out = dedup.jaccard_pairs(
+        d, "doc_id", "text", threshold=p["threshold"], k=1, candidates=cand
+    )
     return out.select(
         "id_a", "id_b", "shared", F.round("jaccard", 6).alias("jaccard")
     )
 
 
-SQL_JACCARD_PAIRS = """
-WITH toks AS (
-  SELECT doc_id AS id, UNNEST(list_distinct(string_split_regex(trim(text), '\\s+')))
-         AS tok
+def _sql_jaccard_lsh() -> str:
+    """DuckDB replica of MinHash-LSH candidate generation + exact
+    Jaccard verify (same 16 md5 minhashes over k=1 token shingles,
+    same 4 band hashes — dedup.minhash_signature/lsh_bands)."""
+    p = _JACCARD_LSH
+    rpb = p["n_hashes"] // p["n_bands"]
+    mins = ",\n         ".join(
+        "list_min(list_transform(sh, x -> md5(concat('{i}:', x)))) AS mh{i}".format(
+            i=i
+        )
+        for i in range(p["n_hashes"])
+    )
+    bands = "\n  UNION ALL ".join(
+        "SELECT id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band FROM sig".format(
+            b=b, cols=", ".join(f"mh{b * rpb + r}" for r in range(rpb))
+        )
+        for b in range(p["n_bands"])
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id,
+         list_transform(
+           generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')), 1)),
+           i -> string_split_regex(trim(text), '\\s+')[i]) AS sh
   FROM documents
-), sizes AS (
-  SELECT id, COUNT(*) AS n FROM toks GROUP BY id
-), shared AS (
-  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
-  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
-  GROUP BY a.id, b.id
+), sig AS (
+  SELECT id, {mins} FROM sh
+), bands AS (
+  {bands}
+), cand AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band = b.band AND a.id < b.id
+  GROUP BY 1, 2
+), toks AS (
+  SELECT doc_id AS id,
+         list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+  FROM documents
+), verified AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS shared,
+         len(ta.toks) AS na, len(tb.toks) AS nb
+  FROM cand c
+  JOIN toks ta ON ta.id = c.id_a
+  JOIN toks tb ON tb.id = c.id_b
 )
-SELECT s.id_a, s.id_b, s.shared,
-       ROUND(s.shared * 1.0 / (na.n + nb.n - s.shared), 6) AS jaccard
-FROM shared s
-JOIN sizes na ON na.id = s.id_a
-JOIN sizes nb ON nb.id = s.id_b
-WHERE s.shared * 1.0 / (na.n + nb.n - s.shared) >= 0.5
+SELECT id_a, id_b, shared,
+       ROUND(shared * 1.0 / (na + nb - shared), 6) AS jaccard
+FROM verified
+WHERE shared * 1.0 / (na + nb - shared) >= {p["threshold"]}
 """
 
 
@@ -971,7 +1024,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     out = sftext.quality_score(d, "text")
     return out.select(
-        "doc_id", "n_tokens", "alpha_ratio", "punct_ratio",
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "alpha_ratio", "punct_ratio",
         "stopword_ratio", "distinct_ratio", "quality_score",
     )
 
@@ -1074,11 +1128,19 @@ FROM documents GROUP BY source
 
 
 def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (>= 0.8)."""
+    """Embedding-cosine near-dup pairs (>= 0.8) via the LSH scale path:
+    hyperplane-signature buckets generate candidates (equi-join on
+    (table, sig)), exact cosine verifies candidates only — no cross
+    join. The DuckDB oracle is the brute-force twin; verification is
+    exact, so the comparison holds wherever LSH recall does (> 0.98 at
+    cos 0.8 with these params, and exactly here: sf0.01 has no
+    qualifying pairs to miss)."""
     from sparkfp import dedup
 
     e = _t(spark, sf_dir, "embeddings")
-    out = dedup.embedding_near_pairs(e, "vec_id", "embedding", threshold=0.8)
+    out = dedup.embedding_near_pairs_lsh(
+        e, "vec_id", "embedding", dim=64, threshold=0.8, n_planes=4, n_tables=8
+    )
     return out.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
@@ -1113,6 +1175,70 @@ WITH scored AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+"""
+
+_LSH_TOPK_PARAMS = dict(dim=64, k=5, n_planes=4, n_tables=8, seed=42)
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k neighbors for the first 10
+    vectors: candidates share a hyperplane signature in >= 1 of the
+    hash tables (posexploded (table, sig) rows meet in a hash
+    EQUI-join — never an OR-of-equalities nested loop), exact cosine
+    re-ranks candidates only."""
+    from sparkfp import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(
+        e, queries, "vec_id", "embedding", **_LSH_TOPK_PARAMS
+    )
+
+
+def _sql_lsh_topk() -> str:
+    """DuckDB replica of the full LSH-top-k pipeline — identical
+    hyperplanes (seeded numpy, inlined as literals), signature bits,
+    candidate bucketing, and exact re-rank, so the comparison is exact
+    rather than statistical (LSH recall vs brute force is a property
+    of the data; the implementation contract is bucket parity, proven
+    bit-for-bit here and recall-tested on planted corpora in pytest)."""
+    from sparkfp import similarity
+
+    p = _LSH_TOPK_PARAMS
+    vals = []
+    for t in range(p["n_tables"]):
+        planes = similarity.hyperplanes(p["dim"], p["n_planes"], p["seed"] + t)
+        for b, w in enumerate(planes):
+            lit = "[" + ",".join(repr(float(x)) for x in w) + "]::DOUBLE[]"
+            vals.append(f"({t}, {2 ** b}::BIGINT, {lit})")
+    return f"""
+WITH planes(t, pw, w) AS (VALUES {",".join(vals)}),
+sigs AS (
+  SELECT e.vec_id, pl.t,
+         CAST(SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.w) > 0
+                  THEN pl.pw ELSE 0 END) AS BIGINT) AS sig
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.t
+), qsig AS (
+  SELECT * FROM sigs WHERE vec_id < 10
+), cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sigs c JOIN qsig q ON c.t = q.t AND c.sig = q.sig
+                         AND c.vec_id <> q.vec_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                      ce.embedding::DOUBLE[]), 6) AS cos
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {p["k"]}
 """
 
 
@@ -1201,7 +1327,7 @@ _QUERIES: dict[str, tuple[Callable, str | None]] = {
     # training-data ops
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signatures": (q_minhash_signatures, _sql_minhash()),
-    "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
+    "jaccard_pairs": (q_jaccard_pairs, _sql_jaccard_lsh()),
     "simhash": (q_simhash, _sql_simhash()),
     "winnow": (q_winnow, SQL_WINNOW),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
@@ -1209,6 +1335,7 @@ _QUERIES: dict[str, tuple[Callable, str | None]] = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "embedding_near_pairs": (q_embedding_near_pairs, SQL_EMBEDDING_NEAR_PAIRS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "lsh_topk": (q_lsh_topk, _sql_lsh_topk()),
     # audio graft + multimodal: non-SQL pipelines over deterministic
     # seeded synth input -> precomputed-fixture oracles (hard gate)
     "audio_match": (q_audio_match, _fixture_sql("audio_match")),

@@ -112,12 +112,25 @@ def minhash_lsh_candidates(
     n_bands: int = 4,
     k: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band."""
+    """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band.
+
+    The signature is materialized as a named column in its own
+    projection before banding: composing ``lsh_bands(
+    minhash_signature(...))`` as one Column expression would inline the
+    full n_hashes-way md5 minhash into every element_at slot and
+    recompute it n_hashes times per row (measured 30x slowdown) —
+    Catalyst does not deduplicate interpreted higher-order-function
+    subtrees inside a single projection.
+    """
     rows_per_band = n_hashes // n_bands
-    sig = minhash_signature(text_col, n_hashes, k)
-    banded = df.select(
+    sig_df = df.select(
+        F.col(id_col), minhash_signature(text_col, n_hashes, k).alias("_sig")
+    )
+    banded = sig_df.select(
         F.col(id_col),
-        F.posexplode(lsh_bands(sig, n_bands, rows_per_band)).alias("band_idx", "band"),
+        F.posexplode(lsh_bands(F.col("_sig"), n_bands, rows_per_band)).alias(
+            "band_idx", "band"
+        ),
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -147,23 +160,48 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Pairs with token/shingle-set Jaccard >= threshold.
 
-    With `candidates` (e.g. from minhash_lsh_candidates) only those
-    pairs are verified; otherwise the token-overlap self-join prunes
-    the n^2 space to pairs sharing at least one shingle.
+    With ``candidates`` (id_a, id_b — e.g. from
+    :func:`minhash_lsh_candidates`) this is the SCALE PATH: each
+    candidate pair is verified by joining the two shingle arrays back
+    on their ids and intersecting them per pair (``array_intersect``,
+    JVM-side) — cost is |candidates| * O(doc length), with no token
+    join anywhere.
+
+    Without candidates it falls back to the token-overlap self-join:
+    correct, but the join key is the raw shingle, whose document
+    frequency is Zipf-skewed (stopwords are planet-hot keys) and the
+    pair blow-up is quadratic in DF — the small-scale oracle twin only.
     """
     sets = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles_col(text_col, k))).alias("tok"),
+        F.array_distinct(shingles_col(text_col, k)).alias("toks"),
     )
-    sizes = sets.groupBy("id").agg(F.count("*").alias("n"))
-    a, b = sets.alias("a"), sets.alias("b")
+    if candidates is not None:
+        a = sets.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+        b = sets.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+        return (
+            candidates.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn(
+                "shared",
+                F.size(F.array_intersect("toks_a", "toks_b")).cast("long"),
+            )
+            .withColumn(
+                "jaccard",
+                F.col("shared")
+                / (F.size("toks_a") + F.size("toks_b") - F.col("shared")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "shared", "jaccard")
+        )
+    exploded = sets.select("id", F.explode("toks").alias("tok"))
+    sizes = sets.select("id", F.size("toks").alias("n"))
+    a, b = exploded.alias("a"), exploded.alias("b")
     shared = (
         a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("shared"))
     )
-    if candidates is not None:
-        shared = shared.join(candidates, ["id_a", "id_b"], "left_semi")
     na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
     return (
@@ -276,13 +314,69 @@ def cosine(a: Column, b: Column) -> Column:
 def embedding_near_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute force; LSH-bucketed
-    variant in sparkfp.similarity for the scale path)."""
+    """Embedding-cosine near-dup pairs, brute force (all-pairs cross
+    join, O(N^2)): the small-scale ORACLE TWIN only. Production path is
+    :func:`embedding_near_pairs_lsh` — same output where LSH recall
+    holds, but candidates come from signature buckets instead of the
+    full pair space."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+def embedding_near_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: random-hyperplane LSH
+    buckets generate candidates, exact cosine verifies candidates only.
+
+    Plan shape: one posexplode to (table, signature) rows, a hash
+    EQUI-join on (t, sig) (id_a < id_b halves the pair space), distinct
+    pair dedup, then exact-cosine filter — no cross join anywhere, so
+    cost is sum over buckets of |bucket|^2, not N^2. Recall per true
+    pair at cosine c is 1 - (1 - agree(c)^n_planes)^n_tables with
+    agree(c) = 1 - acos(c)/pi; the defaults give > 0.98 recall at
+    c = 0.8 and ~1 - 6e-7 at c = 0.99 (raise n_planes for bucket
+    selectivity at corpus scale, n_tables for recall). Verification is
+    exact, so precision is always 1.
+    """
+    from . import similarity
+
+    tables = [
+        similarity.hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)
+    ]
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(similarity._table_sigs(F.col(vec_col), tables)).alias(
+            "t", "sig"
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.first("a.v").alias("va"), F.first("b.v").alias("vb"))
+    )
+    return (
+        cand.withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )

@@ -13,6 +13,7 @@ cluster sizes.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -57,18 +58,80 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
+def _table_sigs(vec: Column, tables: list[np.ndarray]) -> Column:
+    """array<long>: one sign-bit signature per hash table (bit p of
+    sigs[t] set where dot(vec, plane_{t,p}) > 0).
+
+    Computed as ONE Arrow-batched matmul over all tables' planes: a
+    Column-expression formulation (n_tables * n_planes nested
+    fold-aggregates) blows past Catalyst's codegen limits and falls
+    back to interpreted eval, ~100x slower per row — the matmul is the
+    scale path. Sign bits agree with any sequential-sum evaluation
+    (e.g. the DuckDB oracle's list_dot_product) except for dots within
+    float ulp of 0, which have measure ~1e-10 on unit-scale data.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    stacked = np.vstack(tables)  # (n_tables * n_planes, dim)
+    n_tables = len(tables)
+    n_planes = tables[0].shape[0]
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def sigs(v: pd.Series) -> pd.Series:
+        m = np.stack(v.values).astype(np.float64)  # (n, dim)
+        bits = (m @ stacked.T) > 0  # (n, n_tables * n_planes)
+        per_table = bits.reshape(len(m), n_tables, n_planes)
+        out = per_table @ weights  # (n, n_tables) int64
+        return pd.Series(list(out))
+
+    return sigs(vec)
+
+
 def lsh_signature(vec_col: Column, planes: np.ndarray) -> Column:
-    """Sign-bit signature: bit p set where dot(vec, plane_p) > 0."""
-    sig = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        lits = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec_col, lits, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-        sig = sig + F.when(dot > 0, F.lit(2**p)).otherwise(F.lit(0))
-    return sig
+    """Sign-bit signature for a single hash table: bit p set where
+    dot(vec, plane_p) > 0."""
+    return F.element_at(_table_sigs(vec_col, [planes]), 1)
+
+
+def lsh_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 12,
+    n_tables: int = 3,
+    seed: int = 42,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Candidate (query_id, qv, neighbor_id, cv) rows sharing an LSH
+    signature in >= 1 of n_tables hash tables.
+
+    Both sides explode to one row per (table, signature) and meet in a
+    hash EQUI-join on ("t", "sig") — never an OR-of-equalities join
+    condition, which Spark can only plan as a nested-loop comparing
+    every corpus row to every query and defeats the bucketing. A
+    pair matching in several tables is deduped by the groupBy.
+    """
+    query_id_col = query_id_col or id_col
+    tables = [hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.posexplode(_table_sigs(F.col(vec_col), tables)).alias("t", "sig"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.posexplode(_table_sigs(F.col(vec_col), tables)).alias("t", "sig"),
+    )
+    return (
+        c.join(F.broadcast(q), ["t", "sig"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("qv").alias("qv"), F.first("cv").alias("cv"))
+    )
 
 
 def lsh_topk(
@@ -88,23 +151,14 @@ def lsh_topk(
     At corpus scale N, expected candidates per query ~ N / 2^n_planes
     per table — the knob that makes ANN tractable at 10^12 rows.
     """
-    tables = [hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    for t, planes in enumerate(tables):
-        c = c.withColumn(f"sig{t}", lsh_signature(F.col("cv"), planes))
-        q = q.withColumn(f"sig{t}", lsh_signature(F.col("qv"), planes))
-    cond = None
-    for t in range(n_tables):
-        eq = F.col(f"c.sig{t}") == F.col(f"q.sig{t}")
-        cond = eq if cond is None else (cond | eq)
-    cand = c.alias("c").join(F.broadcast(q.alias("q")), cond & (
-        F.col("c.neighbor_id") != F.col("q.query_id")
-    ))
-    scored = cand.withColumn("cos", F.round(cosine(F.col("q.qv"), F.col("c.cv")), 6))
+    cand = lsh_candidates(
+        corpus, queries, id_col, vec_col, dim,
+        n_planes=n_planes, n_tables=n_tables, seed=seed,
+    )
+    scored = cand.withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )

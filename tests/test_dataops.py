@@ -164,6 +164,51 @@ def test_lsh_topk_high_recall(spark):
     assert hits / 15 >= 0.6
 
 
+def test_lsh_plans_have_no_nested_loop_join(spark):
+    """The LSH candidate join must be a hash/sort-merge EQUI-join on
+    (table, signature) — an OR-of-equalities condition degenerates to
+    BroadcastNestedLoopJoin (per-pair predicate eval), defeating the
+    bucketing entirely."""
+    rng = np.random.Generator(np.random.Philox(key=[3, 0]))
+    V = rng.standard_normal((50, 8))
+    df = spark.createDataFrame(
+        [(i, V[i].tolist()) for i in range(50)], "id long, v array<double>"
+    )
+    topk_plan = similarity.lsh_topk(
+        df, df.filter("id < 3"), "id", "v", dim=8, k=3
+    )._jdf.queryExecution().executedPlan().toString()
+    pairs_plan = dedup.embedding_near_pairs_lsh(
+        df, "id", "v", dim=8, threshold=0.9
+    )._jdf.queryExecution().executedPlan().toString()
+    for plan in (topk_plan, pairs_plan):
+        assert "BroadcastNestedLoop" not in plan
+        assert "Cartesian" not in plan
+
+
+def test_embedding_near_pairs_lsh_equals_brute_on_planted_dups(spark):
+    """Planted near-duplicates (cos ~0.99): the LSH-bucketed path finds
+    exactly the brute-force pair set (verification is exact; recall at
+    this cosine is ~1 - 6e-7 with default params)."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((200, 16))
+    rows = [(i, base[i].tolist()) for i in range(200)]
+    for i in range(5):
+        w = base[i] + 0.02 * rng.standard_normal(16)
+        rows.append((1000 + i, w.tolist()))
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    lsh = dedup.embedding_near_pairs_lsh(
+        df, "id", "v", dim=16, threshold=0.95
+    ).toPandas()
+    brute = dedup.embedding_near_pairs(df, "id", "v", threshold=0.95).toPandas()
+    key = ["id_a", "id_b", "cos"]
+    assert sorted(map(tuple, lsh[key].values.tolist())) == sorted(
+        map(tuple, brute[key].values.tolist())
+    )
+    assert {(r.id_a, r.id_b) for _, r in lsh.iterrows()} == {
+        (i, 1000 + i) for i in range(5)
+    }
+
+
 # ------------------------------------------------------------------ text
 
 
