@@ -72,7 +72,10 @@ def q_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("double").alias("value"),
         F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
     )
-    stats = fingerprint.windowed_stats(ev, window="1 hour")
+    # bounded input -> native-aggregate fast path; the collect_list
+    # formulation (fingerprint.windowed_stats) is the shared
+    # batch==stream plan and stays the streaming/parity path
+    stats = fingerprint.windowed_stats_fast(ev, window="1 hour")
     return stats.select(
         (F.col("start_ms") / 1000).cast("long").alias("win_start_s"),
         F.col("equip_id").alias("event_type"),
@@ -506,6 +509,65 @@ SELECT event_id,
                    AND ABS(value - rmed) > 3.0 * 1.4826 * rmad
              THEN rmed ELSE value END, 6) AS clean
 FROM mad
+"""
+
+
+def q_lowess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: LOWESS smoothing per user (tricube k-NN weighted linear
+    regression over row positions, frac=0.3, single pass). The oracle
+    is an independent closed-form SQL implementation of the same
+    semantics (self-join per key, kth-distance bandwidth, weighted
+    least squares)."""
+    from sparkfp import analytics
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = analytics.lowess(
+        ev, "value", ["user_id"], "ts", frac=0.3, order_cols=["ts", "event_id"]
+    )
+    return out.select("event_id", F.round("smooth", 4).alias("smooth"))
+
+
+SQL_LOWESS = """
+WITH base AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS x,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), params AS (
+  SELECT *, GREATEST(3, LEAST(n, CAST(FLOOR(0.3 * n) AS BIGINT))) AS k
+  FROM base
+), pairs AS (
+  SELECT a.user_id, a.event_id, a.x AS xi, a.value AS yi, a.n, a.k,
+         b.x AS xj, b.value AS yj, ABS(a.x - b.x) AS d,
+         ROW_NUMBER() OVER (PARTITION BY a.user_id, a.event_id
+                            ORDER BY ABS(a.x - b.x), b.x) AS dr
+  FROM params a JOIN base b ON a.user_id = b.user_id
+), with_h AS (
+  SELECT *, MAX(CASE WHEN dr = k THEN d END)
+              OVER (PARTITION BY user_id, event_id) AS h
+  FROM pairs
+), weighted AS (
+  SELECT user_id, event_id, xi, yi, n, h, xj, yj,
+         CASE WHEN d < h THEN POWER(1 - POWER(d * 1.0 / h, 3), 3)
+              ELSE 0.0 END AS w
+  FROM with_h
+), fits AS (
+  SELECT user_id, event_id, ANY_VALUE(xi) AS xi, ANY_VALUE(yi) AS yi,
+         ANY_VALUE(n) AS n, ANY_VALUE(h) AS h,
+         SUM(w) AS sw, SUM(w * xj) AS swx, SUM(w * yj) AS swy,
+         SUM(w * xj * xj) AS swxx, SUM(w * xj * yj) AS swxy
+  FROM weighted
+  GROUP BY user_id, event_id
+)
+SELECT event_id,
+       ROUND(CASE
+         WHEN n < 3 OR h IS NULL OR h <= 0 OR sw <= 0 THEN yi
+         WHEN swxx - swx * swx / sw < 1e-9 THEN swy / sw
+         ELSE swy / sw
+              + (swxy - swx * swy / sw) / (swxx - swx * swx / sw)
+                * (xi - swx / sw)
+       END, 4) AS smooth
+FROM fits
 """
 
 
@@ -1316,6 +1378,7 @@ _QUERIES: dict[str, tuple[Callable, str | None]] = {
     # window analytics + rules + state
     "rolling_median": (q_rolling_median, SQL_ROLLING_MEDIAN),
     "hampel": (q_hampel, SQL_HAMPEL),
+    "lowess": (q_lowess, SQL_LOWESS),
     "time_delta": (q_time_delta, SQL_TIME_DELTA),
     "rules_engine": (q_rules_engine, SQL_RULES_ENGINE),
     "derived_params": (q_derived_params, SQL_DERIVED_PARAMS),

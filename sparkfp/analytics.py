@@ -105,6 +105,92 @@ def hampel_df(
     return df
 
 
+def lowess(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    ts_col: str,
+    frac: float = 0.3,
+    it: int = 0,
+    out_col: str = "smooth",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """W3: LOWESS smoothing per key (reference lowess_smooth_df,
+    helpers.py:141-190 — statsmodels is not in this environment, so
+    this is a from-scratch Cleveland LOWESS over integer row positions,
+    the same x = arange(len) the reference passes).
+
+    Semantics (mirrored exactly by the SQL oracle in __spark_entry__):
+      x_i = row position after sorting by order_cols;
+      k   = max(3, min(n, int(frac * n))) nearest neighbors;
+      h_i = k-th smallest |x_j - x_i| (ties counted);
+      w_j = tricube(|x_j - x_i| / h_i), 0 outside the bandwidth;
+      fit = weighted linear regression, intercept-only when the
+            weighted x-variance degenerates (< 1e-9);
+      rows of keys with n < 3 pass through unsmoothed.
+    ``it`` robustness iterations reweight by bisquare(resid / 6*median
+    |resid|) like the reference's it=3 call; the driver oracle covers
+    it=0, the robust path is pytest-covered.
+
+    Scale: applyInPandas per key — one shuffle on the key, O(n*k) per
+    group in vectorized numpy. A single global series would serialize;
+    the API demands key columns like every window op here.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401 (applyInPandas contract)
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    order = list(order_cols) if order_cols else [ts_col]
+    schema = StructType(df.schema.fields + [StructField(out_col, DoubleType())])
+
+    def smooth(pdf):
+        pdf = pdf.sort_values(order).reset_index(drop=True)
+        y = pdf[value_col].to_numpy(dtype=float)
+        n = len(pdf)
+        k = max(3, min(n, int(frac * n)))
+        if n < 3:
+            pdf[out_col] = y
+            return pdf
+        x = np.arange(n, dtype=float)
+        rw = np.ones(n)
+        out = y.astype(float).copy()
+        for _ in range(it + 1):
+            for i in range(n):
+                d = np.abs(x - x[i])
+                h = np.partition(d, k - 1)[k - 1]
+                if h <= 0:
+                    out[i] = y[i]
+                    continue
+                w = np.clip(1.0 - (d / h) ** 3, 0.0, None) ** 3 * rw
+                sw = w.sum()
+                if sw <= 0:
+                    out[i] = y[i]
+                    continue
+                swx = (w * x).sum()
+                swy = (w * y).sum()
+                swxx = (w * x * x).sum()
+                swxy = (w * x * y).sum()
+                denom = swxx - swx * swx / sw
+                yw = swy / sw
+                if denom < 1e-9:
+                    out[i] = yw
+                else:
+                    out[i] = yw + (swxy - swx * swy / sw) / denom * (
+                        x[i] - swx / sw
+                    )
+            if it:
+                resid = np.abs(y - out)
+                s = np.median(resid)
+                if s <= 0:
+                    break
+                rw = np.clip(1.0 - (resid / (6.0 * s)) ** 2, 0.0, None) ** 2
+        pdf[out_col] = out
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(smooth, schema)
+
+
 def format_sensor_value(col: Column, decimals: int = 3) -> Column:
     """E13: float -> string with fixed decimals, NaN/null -> the literal
     "null" (reference kiln_data_producer.py:320-327, helpers.py:504-517)."""

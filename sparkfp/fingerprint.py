@@ -121,6 +121,45 @@ def windowed_stats(
     )
 
 
+def windowed_stats_fast(values: DataFrame, window: str = WINDOW) -> DataFrame:
+    """Batch-only fast path for :func:`windowed_stats`: native
+    min/max/median/avg/stddev_pop aggregates (map-side partial
+    aggregation, no per-group array state) — about half the runtime of
+    the collect_list formulation on bounded inputs.
+
+    Not usable under streaming append mode (median/stddev aren't
+    incremental there) and not byte-identical to the shared plan:
+    merge-based mean/stddev accumulate in a different order than the
+    sorted-array fold, so values agree to ~1e-10 relative, not to the
+    last ulp. Use the shared plan wherever stream==batch byte equality
+    is asserted; use this for bounded analytics at scale.
+    """
+    ts = F.timestamp_millis(F.col("ts_ms")).alias("event_time")
+    df = values.withColumn("event_time", ts)
+    agg = df.groupBy(
+        F.window("event_time", window).alias("win"), "equip_id", "sensor_id"
+    ).agg(
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+        F.median("value").alias("median"),
+        F.avg("value").alias("mean"),
+        F.count("value").alias("_n"),
+        F.stddev_pop("value").alias("_sd"),
+    )
+    return agg.select(
+        "win",
+        F.unix_millis(F.col("win.start")).alias("start_ms"),
+        F.unix_millis(F.col("win.end")).alias("end_ms"),
+        "equip_id",
+        "sensor_id",
+        "min",
+        "max",
+        "median",
+        "mean",
+        F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(F.col("_sd")).alias("std_dev"),
+    )
+
+
 def to_fingerprints(stats: DataFrame) -> DataFrame:
     """Roll stats rows up to one fingerprint row per (window, equip).
 

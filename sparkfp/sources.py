@@ -105,14 +105,15 @@ def load_metadata_dim(spark: SparkSession, path: str, sheet: str | None = None) 
     """
     if path.endswith(".xlsx"):
         try:
-            import pandas as pd
-
-            pdf = pd.read_excel(path, sheet_name=sheet or 0)
-            return spark.createDataFrame(pdf)
-        except ImportError as e:  # pragma: no cover
+            import openpyxl  # noqa: F401
+        except ImportError as e:
             raise NotImplementedError(
                 "xlsx metadata needs openpyxl; convert to csv/parquet"
             ) from e
+        import pandas as pd
+
+        pdf = pd.read_excel(path, sheet_name=sheet or 0, engine="openpyxl")
+        return spark.createDataFrame(pdf)
     if path.endswith(".csv"):
         return spark.read.option("header", True).option("inferSchema", True).csv(path)
     return spark.read.parquet(path)

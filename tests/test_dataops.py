@@ -209,6 +209,98 @@ def test_embedding_near_pairs_lsh_equals_brute_on_planted_dups(spark):
     }
 
 
+# ------------------------------------------------------------------ lowess
+
+
+def _lowess_oracle(y, frac=0.3, it=0):
+    """Slow per-point reference: tricube k-NN weighted linear fit over
+    row positions (independent of the engine's vectorized formulation)."""
+    import math
+
+    n = len(y)
+    if n < 3:
+        return list(y)
+    k = max(3, min(n, int(frac * n)))
+    rw = [1.0] * n
+    out = list(y)
+    for _ in range(it + 1):
+        for i in range(n):
+            d = sorted((abs(j - i), j) for j in range(n))
+            h = d[k - 1][0]
+            if h <= 0:
+                out[i] = y[i]
+                continue
+            w = [
+                max(0.0, 1 - (abs(j - i) / h) ** 3) ** 3 * rw[j]
+                for j in range(n)
+            ]
+            sw = sum(w)
+            swx = sum(wj * j for j, wj in enumerate(w))
+            swy = sum(wj * y[j] for j, wj in enumerate(w))
+            swxx = sum(wj * j * j for j, wj in enumerate(w))
+            swxy = sum(wj * j * y[j] for j, wj in enumerate(w))
+            denom = swxx - swx * swx / sw
+            if denom < 1e-9:
+                out[i] = swy / sw
+            else:
+                out[i] = swy / sw + (swxy - swx * swy / sw) / denom * (i - swx / sw)
+        if it:
+            resid = sorted(abs(a - b) for a, b in zip(y, out))
+            s = resid[len(resid) // 2] if len(resid) % 2 else (
+                resid[len(resid) // 2 - 1] + resid[len(resid) // 2]
+            ) / 2
+            if s <= 0:
+                break
+            rw = [
+                max(0.0, 1 - (abs(a - b) / (6 * s)) ** 2) ** 2
+                for a, b in zip(y, out)
+            ]
+    return out
+
+
+@pytest.mark.parametrize("it", [0, 3])
+def test_lowess_matches_independent_oracle(spark, it):
+    rng = np.random.Generator(np.random.Philox(key=[5, 0]))
+    rows = []
+    series = {}
+    for key in ("A", "B"):
+        y = (np.sin(np.linspace(0, 6, 40)) * 10 + rng.standard_normal(40)).tolist()
+        if key == "B":
+            y[7] = 90.0  # outlier: the robust pass should shrug it off
+        series[key] = y
+        rows += [(key, i, float(v)) for i, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "k string, ts long, value double")
+    got = (
+        analytics.lowess(df, "value", ["k"], "ts", frac=0.3, it=it)
+        .orderBy("k", "ts")
+        .toPandas()
+    )
+    for key, y in series.items():
+        exp = _lowess_oracle(y, frac=0.3, it=it)
+        g = got[got.k == key].smooth.tolist()
+        assert g == pytest.approx(exp, abs=1e-9), (key, it)
+
+
+def test_lowess_smooths_outlier_with_robust_iterations(spark):
+    # small noise keeps the median absolute residual > 0 so the robust
+    # reweighting actually runs (on exactly-fit data s = 0 and the
+    # robust loop stops, matching Cleveland's algorithm)
+    rng = np.random.Generator(np.random.Philox(key=[6, 0]))
+    y = (1.0 + 0.01 * rng.standard_normal(20)).tolist()
+    y[10] = 100.0
+    df = spark.createDataFrame(
+        [("A", i, float(v)) for i, v in enumerate(y)],
+        "k string, ts long, value double",
+    )
+    plain = analytics.lowess(df, "value", ["k"], "ts", it=0).toPandas()
+    robust = analytics.lowess(df, "value", ["k"], "ts", it=3).toPandas()
+    # the robust pass rescues the outlier's NEIGHBORS: without it the
+    # point at ts=9 is dragged to ~26 by the spike at ts=10
+    at9 = lambda pdf: float(pdf[pdf.ts == 9].smooth.iloc[0])  # noqa: E731
+    assert abs(at9(plain) - 1.0) > 10
+    assert abs(at9(robust) - 1.0) < 0.1
+
+
 # ------------------------------------------------------------------ text
 
 

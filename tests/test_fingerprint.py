@@ -98,3 +98,20 @@ def test_json_envelope(spark, events):
     assert set(fp) == {"uuid", "equip_id", "type", "start_ms", "end_ms", "data"}
     anytag = next(iter(fp["data"].values()))
     assert set(anytag) == {"min", "max", "median", "mean", "std_dev"}
+
+
+def test_windowed_stats_fast_path_matches_exact(spark):
+    """The native-aggregate batch fast path agrees with the shared
+    batch==stream collect_list plan to well past the 6-dp precision
+    the engine publishes (merge-order float differences only)."""
+    from sparkfp import fingerprint, synth
+
+    ev = fingerprint.unnest(synth.sensor_events(spark, n_seconds=180))
+    exact = fingerprint.windowed_stats(ev).drop("win").toPandas()
+    fast = fingerprint.windowed_stats_fast(ev).drop("win").toPandas()
+    key = ["start_ms", "equip_id", "sensor_id"]
+    exact = exact.sort_values(key).reset_index(drop=True)
+    fast = fast.sort_values(key).reset_index(drop=True)
+    assert len(exact) == len(fast) > 0
+    for c in ("min", "max", "median", "mean", "std_dev"):
+        assert fast[c].values == pytest.approx(exact[c].values, abs=1e-9), c

@@ -133,3 +133,36 @@ def test_sink_crash_between_write_and_ledger_is_replay_safe(spark, tmp_path):
     assert sink.is_committed(0)
     vals = sorted(r.x for r in sink.read(spark).collect())
     assert vals == [1, 2]
+
+
+def test_load_metadata_dim_csv_and_xlsx_gate(spark, tmp_path):
+    """S10: the metadata dim loads from csv (the in-container path;
+    xlsx needs openpyxl and raises NotImplementedError when absent —
+    reference kiln_data_producer.py:98-108 reads the same mapping
+    from a spreadsheet)."""
+    import pytest as _pytest
+
+    from sparkfp import joins, sources
+
+    csv = tmp_path / "dim.csv"
+    csv.write_text("tag,unit,scale\nt1,degC,1.5\nt2,bar,2.0\n")
+    dim = sources.load_metadata_dim(spark, str(csv))
+    assert {r.tag: (r.unit, r.scale) for r in dim.collect()} == {
+        "t1": ("degC", 1.5), "t2": ("bar", 2.0)
+    }
+    facts = spark.createDataFrame([("t1", 10.0), ("t3", 1.0)], "tag string, v double")
+    out = joins.broadcast_lookup(facts, dim, "tag").collect()
+    assert {(r.tag, r.unit) for r in out} == {("t1", "degC"), ("t3", None)}
+    try:
+        import openpyxl  # noqa: F401
+        has_openpyxl = True
+    except ImportError:
+        has_openpyxl = False
+    if not has_openpyxl:
+        import zipfile
+
+        xlsx = tmp_path / "dim.xlsx"
+        with zipfile.ZipFile(xlsx, "w") as z:  # xlsx is a zip container
+            z.writestr("stub.xml", "<x/>")
+        with _pytest.raises(NotImplementedError):
+            sources.load_metadata_dim(spark, str(xlsx))
