@@ -1169,20 +1169,24 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return (
         d.select("source", sftext.token_count("text").alias("n_tok"),
+                 sftext.bpe_like_token_count("text").alias("n_bpe"),
                  F.length("text").alias("n_chars"))
         .groupBy("source")
         .agg(
             F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
             F.count("*").alias("n_docs"),
         )
     )
 
 
-SQL_TOKEN_STATS = """
+SQL_TOKEN_STATS = r"""
 SELECT source,
-       CAST(SUM(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT)
+       CAST(SUM(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT)
          AS total_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+            AS BIGINT) AS total_bpe_tokens,
        ROUND(AVG(length(text)), 4) AS avg_chars,
        COUNT(*) AS n_docs
 FROM documents GROUP BY source

@@ -52,6 +52,21 @@ def exact_dedup(df: DataFrame, id_col: str, *content_cols: str) -> DataFrame:
     return df.join(groups, id_col, "left_semi")
 
 
+def exact_dedup_stream(
+    stream: DataFrame, ts_col: str, watermark: str, *content_cols: str
+) -> DataFrame:
+    """Streaming exact dedup: first row per distinct content within the
+    watermark horizon (``dropDuplicatesWithinWatermark`` keyed on the
+    content hash, so the keyed state store holds one small hash row per
+    distinct content and the watermark evicts it — bounded RocksDB
+    state at any ingest scale, unlike an ever-growing global
+    dropDuplicates). ``ts_col`` must be event-time (TimestampType)."""
+    with_hash = stream.withColumn("content_hash", content_hash(*content_cols))
+    return with_hash.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
 # ---------------------------------------------------------------- tokens / shingles
 
 

@@ -79,33 +79,49 @@ def run_state_batch(
     )
     is_shutdown = F.col(down_flag) & (F.col("_elapsed") >= shutdown_window_s)
     df = df.withColumn("_shut", is_shutdown)
-    # ts of the most recent SHUTDOWN row at or before this row (max ==
-    # last non-null because ts is monotone within the ordering)
-    df = df.withColumn(
-        "_last_shut_s",
-        F.max(F.when(F.col("_shut"), F.col("_ts_s"))).over(w_key.rowsBetween(*cum)),
+    # STARTING clock origin = the first running row after the most
+    # recent shutdown row. Everything below stays on the SAME window
+    # partitioning (key, ordered by `order`) so the whole operator is
+    # ONE shuffle — a (key, cohort)-partitioned window would add a
+    # second exchange. Row positions (not timestamps) drive the
+    # comparisons so ts ties cannot misattribute cohort starts.
+    pos = F.row_number().over(w_key)
+    df = df.withColumn("_pos", pos)
+    last_shut_pos = F.max(F.when(F.col("_shut"), F.col("_pos"))).over(
+        w_key.rowsBetween(*cum)
     )
-    # first running row after that shutdown = the STARTING clock origin;
-    # all rows sharing _last_shut_s form one post-shutdown cohort
-    w_cohort = Window.partitionBy(*key_cols, "_last_shut_s").orderBy(*order)
+    prev_run_pos = F.max(F.when(~F.col(down_flag), F.col("_pos"))).over(
+        w_key.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # a running row opens a cohort iff the last shutdown is more recent
+    # than the previous running row
+    is_start = (
+        (~F.col(down_flag))
+        & last_shut_pos.isNotNull()
+        & (F.coalesce(prev_run_pos, F.lit(-1)) < last_shut_pos)
+    )
+    df = df.withColumn("_is_start", is_start)
+    # latest cohort-start ts at or before this row == this row's cohort
+    # start (cohort starts are ordered)
     df = df.withColumn(
         "_start_s",
-        F.min(F.when(~F.col(down_flag), F.col("_ts_s"))).over(
-            w_cohort.rowsBetween(*cum)
+        F.max(F.when(F.col("_is_start"), F.col("_ts_s"))).over(
+            w_key.rowsBetween(*cum)
         ),
     )
     state = (
         F.when(F.col("_shut"), F.lit(SHUTDOWN))
         .when(
             (~F.col(down_flag))
-            & F.col("_last_shut_s").isNotNull()
+            & F.col("_start_s").isNotNull()
             & (F.col("_ts_s") - F.col("_start_s") < transition_window_s),
             F.lit(STARTING),
         )
         .otherwise(F.lit(RUNNING))
     )
     return df.withColumn("run_state", state).drop(
-        down_flag, "_ts_s", "_elapsed", "_shut", "_last_shut_s", "_start_s", "island"
+        down_flag, "_ts_s", "_elapsed", "_shut", "_pos", "_is_start",
+        "_start_s", "island",
     )
 
 

@@ -30,6 +30,20 @@ def token_count(text: str | Column) -> Column:
     return F.size(tokens(text))
 
 
+# BPE-pre-tokenizer-style pattern: letter runs, digit runs, single
+# punctuation marks. ASCII-only on purpose so Java regex (Spark) and
+# RE2 (DuckDB oracle) agree byte-for-byte.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_like_token_count(text: str | Column) -> Column:
+    """Count of pre-tokenizer units (what a BPE tokenizer splits before
+    merges) — a closer LLM-token proxy than whitespace words: 'don't!'
+    is 1 whitespace token but 4 pre-tokens."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     """Length / punctuation / stopword / repetition features + a
     composite quality score, all as one projection."""

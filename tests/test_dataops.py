@@ -466,3 +466,16 @@ def test_asof_join_wide_left_and_duplicate_rows(spark):
     assert sorted((r["ts"], r["val"]) for r in out) == [
         (10, "a"), (10, "a"), (30, "b")
     ]
+
+
+def test_bpe_like_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "don't stop!"), (2, "a1b2"), (3, "hello world"), (4, "  ")],
+        "id long, text string",
+    )
+    got = {
+        r.id: r.n
+        for r in df.select("id", text.bpe_like_token_count("text").alias("n")).collect()
+    }
+    # don ' t stop !  /  a 1 b 2  /  hello world  /  (whitespace only)
+    assert got == {1: 5, 2: 4, 3: 2, 4: 0}

@@ -176,3 +176,16 @@ def test_rising_edge_dedup(spark):
     nxt = stateful.alert_state_from(out, alarms, ["equip", "rule_id"]).collect()
     state = {(r.equip, r.rule_id): r.active for r in nxt}
     assert state[("E1", "r2")] and state[("E2", "r1")] and not state[("E1", "r1")]
+
+
+def test_run_state_batch_is_single_shuffle(spark, run_frame):
+    """The whole batch state machine stays on one window partitioning
+    (the key): a second (key, cohort) exchange would double the shuffle
+    volume of every run-state query at scale."""
+    df, _ = run_frame
+    out = stateful.run_state_batch(
+        df, ["k"], "timestamp", "running",
+        shutdown_window_s=600, transition_window_s=900,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan

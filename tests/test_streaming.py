@@ -193,3 +193,44 @@ def test_match_stream_equals_batch(spark, tmpdirs):
         for r in matching.match_pipeline(clips, index).collect()
     }
     assert got == exp
+
+
+def test_exact_dedup_stream_emits_one_row_per_content(spark, tmp_path):
+    """Streaming exact dedup: duplicates across micro-batches within the
+    watermark horizon collapse to one row per distinct content, state
+    keyed on the md5 content hash (bounded by watermark eviction)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from sparkfp import dedup
+    from sparkfp.sink import ExactlyOnceParquetSink
+
+    rows = []
+    for i in range(40):
+        rows.append((i, 1_700_000_000_000 + i * 1000, f"doc-{i % 10}"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "ts_ms", "text"])
+    df = spark.createDataFrame(pdf)
+    src, sink_dir, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    )
+    streaming.write_stream_source(df, src, n_files=4, order_col="ts_ms")
+    stream = (
+        spark.readStream.schema("doc_id long, ts_ms long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
+    )
+    deduped = dedup.exact_dedup_stream(stream, "event_time", "10 seconds", "text")
+    sink = ExactlyOnceParquetSink(sink_dir)
+    q = (
+        deduped.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = sink.read(spark).toPandas()
+    assert sorted(got.text) == sorted(f"doc-{i}" for i in range(10))
+    # first occurrence wins: every kept doc_id is the minimum for its text
+    assert set(got.doc_id) == set(range(10))
