@@ -1052,6 +1052,40 @@ SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
 """
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3 over 32 bits): candidates
+    share one of four 8-bit chunks (pigeonhole — a hash equi-join on
+    (chunk_idx, chunk_value), never all-pairs), then the exact Hamming
+    filter. Oracle mirrors the chunk pruning, so the comparison is
+    exact."""
+    from sparkfp import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    sims = dedup.simhash(d, "doc_id", "text")
+    out = dedup.simhash_near_pairs(sims, "doc_id", max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _sql_simhash_pairs(max_hamming: int = 3) -> str:
+    return f"""
+WITH sims AS ({_sql_simhash()}),
+chunks AS (
+  SELECT doc_id AS id, simhash, u.c AS c,
+         (simhash >> (u.c * 8)) & 255 AS v
+  FROM sims, UNNEST([0, 1, 2, 3]) AS u(c)
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM chunks a JOIN chunks b ON a.c = b.c AND a.v = b.v AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM cand c
+JOIN sims sa ON sa.doc_id = c.id_a
+JOIN sims sb ON sb.doc_id = c.id_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+"""
+
+
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (k=8 chars, window 4)."""
     from sparkfp import text as sftext
@@ -1243,6 +1277,68 @@ WITH scored AS (
 SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
 """
 
+_IVF_PARAMS = dict(dim=64, k=5, n_centroids=16, nprobe=4, seed=42)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k for the first 10 vectors: corpus rows live
+    in one inverted list each (nearest seeded unit centroid); queries
+    probe their nprobe nearest lists; exact cosine re-ranks candidates.
+    The oracle replicates centroid assignment + probing + re-rank with
+    the same literal centroids, so the comparison is exact."""
+    from sparkfp import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(e, queries, "vec_id", "embedding", **_IVF_PARAMS)
+
+
+def _sql_ivf_topk() -> str:
+    from sparkfp import similarity
+
+    p = _IVF_PARAMS
+    cents = similarity.ivf_centroids(p["dim"], p["n_centroids"], p["seed"])
+    vals = ",".join(
+        "({i}, [{w}]::DOUBLE[])".format(
+            i=i, w=",".join(repr(float(x)) for x in c)
+        )
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(cid, w) AS (VALUES {vals}),
+cdots AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product(e.embedding::DOUBLE[], c.w) AS dot
+  FROM embeddings e CROSS JOIN cents c
+), assign AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS r
+  FROM cdots
+), corpus_list AS (
+  SELECT vec_id AS neighbor_id, cid AS list_id FROM assign WHERE r = 1
+), probes AS (
+  SELECT vec_id AS query_id, cid AS list_id
+  FROM assign WHERE r <= {p["nprobe"]} AND vec_id < 10
+), cand AS (
+  SELECT p.query_id, c.neighbor_id
+  FROM corpus_list c JOIN probes p USING (list_id)
+  WHERE c.neighbor_id <> p.query_id
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                      ce.embedding::DOUBLE[]), 6) AS cos
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {p["k"]}
+"""
+
+
 _LSH_TOPK_PARAMS = dict(dim=64, k=5, n_planes=4, n_tables=8, seed=42)
 
 
@@ -1396,6 +1492,7 @@ _QUERIES: dict[str, tuple[Callable, str | None]] = {
     "minhash_signatures": (q_minhash_signatures, _sql_minhash()),
     "jaccard_pairs": (q_jaccard_pairs, _sql_jaccard_lsh()),
     "simhash": (q_simhash, _sql_simhash()),
+    "simhash_pairs": (q_simhash_pairs, _sql_simhash_pairs()),
     "winnow": (q_winnow, SQL_WINNOW),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, _sql_lang_id()),
@@ -1403,6 +1500,7 @@ _QUERIES: dict[str, tuple[Callable, str | None]] = {
     "embedding_near_pairs": (q_embedding_near_pairs, SQL_EMBEDDING_NEAR_PAIRS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "lsh_topk": (q_lsh_topk, _sql_lsh_topk()),
+    "ivf_topk": (q_ivf_topk, _sql_ivf_topk()),
     # audio graft + multimodal: non-SQL pipelines over deterministic
     # seeded synth input -> precomputed-fixture oracles (hard gate)
     "audio_match": (q_audio_match, _fixture_sql("audio_match")),

@@ -134,6 +134,82 @@ def lsh_candidates(
     )
 
 
+def ivf_centroids(dim: int, n_centroids: int = 16, seed: int = 42) -> np.ndarray:
+    """Deterministic unit-norm coarse-quantizer centroids (seeded
+    Philox). Random unit directions are the train-free IVF baseline:
+    on a real corpus you'd Lloyd-iterate these a few rounds and ship
+    the result the same way (literal broadcast), which changes recall
+    but not the query plan."""
+    rng = np.random.Generator(
+        np.random.Philox(key=[np.uint64(seed + 7919), np.uint64(dim)])
+    )
+    c = rng.standard_normal((n_centroids, dim)).astype(np.float64)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_assignments(vec: Column, centroids: np.ndarray, nprobe: int = 1) -> Column:
+    """array<long>: the nprobe nearest centroid ids by dot product
+    (cosine order, since centroids are unit-norm and the row norm is
+    constant across centroids). One Arrow-batched matmul; ties break on
+    the lower centroid id (argsort is stable on -dot)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def assign(v: pd.Series) -> pd.Series:
+        m = np.stack(v.values).astype(np.float64)
+        dots = m @ centroids.T  # (n, n_centroids)
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int64)))
+
+    return assign(vec)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in one inverted list
+    each (nearest centroid); a query probes its nprobe nearest lists
+    and exact cosine re-ranks only those candidates.
+
+    Scale shape: the corpus is scanned once to tag list ids (at rest
+    this is the table's partition/bucket column, so probing prunes
+    partitions at the scan); the probe is a hash equi-join on list_id
+    with the tiny query side broadcast. Expected work per query ~
+    nprobe / n_centroids of the corpus. Complements lsh_topk: IVF
+    prunes by region (data-adaptive once trained), LSH by random
+    projection (train-free, multi-table recall).
+    """
+    cents = ivf_centroids(dim, n_centroids, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.element_at(ivf_assignments(F.col(vec_col), cents, 1), 1).alias("list_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(ivf_assignments(F.col(vec_col), cents, nprobe)).alias("list_id"),
+    )
+    cand = c.join(F.broadcast(q), "list_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

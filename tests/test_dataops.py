@@ -479,3 +479,30 @@ def test_bpe_like_token_count(spark):
     }
     # don ' t stop !  /  a 1 b 2  /  hello world  /  (whitespace only)
     assert got == {1: 5, 2: 4, 3: 2, 4: 0}
+
+
+def test_ivf_topk_finds_planted_neighbors(spark):
+    """Perturbed copies of corpus vectors (cos ~0.999) land in the same
+    probed inverted list, so IVF top-1 recovers the source exactly."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((100, 16))
+    corpus = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(100)], "id long, v array<double>"
+    )
+    queries = spark.createDataFrame(
+        [
+            (1000 + i, (base[i] + 0.01 * rng.standard_normal(16)).tolist())
+            for i in range(5)
+        ],
+        "id long, v array<double>",
+    )
+    got = similarity.ivf_topk(
+        corpus.unionByName(queries), queries, "id", "v", dim=16, k=1,
+        n_centroids=8, nprobe=3,
+    ).toPandas()
+    top1 = {r.query_id: r.neighbor_id for _, r in got.iterrows()}
+    assert top1 == {1000 + i: i for i in range(5)}
+    plan = similarity.ivf_topk(
+        corpus, queries, "id", "v", dim=16, k=1, n_centroids=8, nprobe=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
