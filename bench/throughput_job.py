@@ -92,6 +92,21 @@ def main() -> None:
                 f"BATCHDIAG b={d.get('batchId')} rows={d.get('numInputRows')} "
                 f"trig={dur.get('triggerExecution')} addBatch={dur.get('addBatch')}\n"
             )
+        # steady-state rate: rows/triggerExecution of the LAST data
+        # batch. End-to-end clips/s carries ~2-4 s of per-run serial
+        # cost (query start, worker spin-up, final commit) that a
+        # long-running cluster job amortizes away; that serial slice
+        # deflates the wide leg's measured speedup (Amdahl on harness
+        # overhead, not on the engine).
+        batches = [
+            (
+                int(json.loads(p.json).get("numInputRows") or 0),
+                int(json.loads(p.json)["durationMs"].get("triggerExecution") or 0),
+            )
+            for p in q.recentProgress
+        ]
+        data_batches = [(r, ms) for r, ms in batches if r > 0]
+        sr, sms = data_batches[-1] if data_batches else (0, 1)
         print(
             json.dumps(
                 {
@@ -99,6 +114,8 @@ def main() -> None:
                     "clips": args.clips,
                     "elapsed_s": round(elapsed, 3),
                     "clips_per_sec": round(args.clips / elapsed, 3),
+                    "steady_clips_per_sec": round(sr / (sms / 1000.0), 3),
+                    "batches": data_batches,
                     "lineage_batches": len(lineage),
                     "rows_seen": sum(r["rows"] or 0 for r in lineage),
                 }

@@ -146,6 +146,85 @@ def alert_state_from(alarms: DataFrame, all_rules: DataFrame, key_cols: list[str
     )
 
 
+def rate_limit_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    min_interval_s: int,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """T8: per-key rate limiter (reference _should_run_equip_analyse,
+    llm_job.py:57-70: run the side action iff >= min_interval since the
+    key's last run, then record the run). Event-time formulation so
+    results are deterministic and replayable — the reference compares
+    against the wall clock.
+
+    The emit decision is a greedy chain (each emission moves the
+    threshold), which no window function expresses — it's a per-key
+    sequential scan, so this is applyInPandas per key (one shuffle;
+    groups are independent, any key cardinality scales out). Emits the
+    surviving rows unchanged.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    order = list(order_cols) if order_cols else [ts_col]
+    schema = df.schema
+
+    def limit(pdf):
+        pdf = pdf.sort_values(order).reset_index(drop=True)
+        ts = pdf[ts_col].astype("datetime64[ns]").astype(np.int64) // 10**9
+        keep = np.zeros(len(pdf), dtype=bool)
+        last = None
+        for i, t in enumerate(ts):
+            if last is None or t - last >= min_interval_s:
+                keep[i] = True
+                last = t
+        return pdf[keep]
+
+    return df.groupBy(*key_cols).applyInPandas(limit, schema)
+
+
+def rate_limit_stream(
+    values: DataFrame,
+    key_col: str,
+    ts_col: str,
+    min_interval_s: int,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming T8: keyed state = last emitted event-time; a row passes
+    iff >= min_interval_s after it. State is one long per key — the
+    Flink keyed-state analog of the reference's persisted
+    last_run_by_equip dict (llm_job.py:40-70)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} string, ts_ms long"
+    state_schema = "last_emit_ms long"
+
+    def fn(key, pdfs, state: GroupState):
+        (k,) = key
+        last = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts in pdf[ts_col]:
+                ts = int(ts)
+                if last is None or ts - last >= min_interval_s * 1000:
+                    out.append((k, ts))
+                    last = ts
+        state.update((last,))
+        yield pd.DataFrame(out, columns=[key_col, "ts_ms"])
+
+    with_time = values.withColumn("event_time", F.timestamp_millis(F.col(ts_col)))
+    return (
+        with_time.withWatermark("event_time", watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 # --------------------------------------------------------------- streaming
 
 

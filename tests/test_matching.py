@@ -139,7 +139,7 @@ def test_audio_fixtures_current(spark):
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    for name in ("audio_match", "audio_landmarks", "media_byte_features"):
+    for name in entrymod.FIXTURE_QUERIES:
         live = qs[name](spark, "/root/testdata/sf0.001").toPandas()
         path = os.path.join(entrymod.FIXTURE_DIR, f"{name}_expected.parquet")
         expected = pd.read_parquet(path)

@@ -189,3 +189,66 @@ def test_run_state_batch_is_single_shuffle(spark, run_frame):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_rate_limit_batch_equals_stream_equals_oracle(spark, tmp_path):
+    """T8 per-key rate limiter: batch (applyInPandas chain) == streaming
+    (keyed state) == the reference greedy chain (llm_job.py:57-70 in
+    event time): emit iff >= min_interval since the last EMITTED row."""
+    from sparkfp import streaming
+    from sparkfp.sink import ExactlyOnceParquetSink
+
+    ts = pd.date_range("2026-01-01", periods=50, freq="7min")
+    pdf = pd.DataFrame({"k": ["E1"] * 30 + ["E2"] * 20, "timestamp": list(ts[:30]) + list(ts[:20])})
+    pdf["ts_ms"] = pdf.timestamp.astype("int64") // 10**6
+
+    def chain(group):
+        out, last = [], None
+        for t in group:
+            s = int(t.timestamp())
+            if last is None or s - last >= 1800:
+                out.append(t)
+                last = s
+        return out
+
+    exp = {
+        (k, t)
+        for k, g in pdf.groupby("k")
+        for t in chain(sorted(g.timestamp))
+    }
+
+    df = spark.createDataFrame(pdf)
+    got_batch = {
+        (r.k, r.timestamp)
+        for r in stateful.rate_limit_per_key(
+            df, ["k"], "timestamp", min_interval_s=1800
+        ).collect()
+    }
+    assert got_batch == exp
+
+    src, sink_dir, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    )
+    streaming.write_stream_source(
+        df.select("k", "ts_ms"), src, n_files=3, order_col="ts_ms"
+    )
+    stream = (
+        spark.readStream.schema("k string, ts_ms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    limited = stateful.rate_limit_stream(stream, "k", "ts_ms", min_interval_s=1800)
+    sink = ExactlyOnceParquetSink(sink_dir)
+    q = (
+        limited.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got_stream = {
+        (r.k, pd.Timestamp(r.ts_ms, unit="ms"))
+        for r in sink.read(spark).collect()
+    }
+    assert got_stream == exp

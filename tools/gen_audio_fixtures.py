@@ -24,11 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod  # noqa: E402
 from sparkfp.session import get_spark  # noqa: E402
 
-FIXTURE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures"
-)
-
-AUDIO_QUERIES = ["audio_match", "audio_landmarks", "media_byte_features"]
+FIXTURE_DIR = entrymod.FIXTURE_DIR
+AUDIO_QUERIES = entrymod.FIXTURE_QUERIES
 
 
 def main() -> None:
