@@ -312,6 +312,68 @@ def simhash_near_pairs(
     )
 
 
+# ------------------------------------------------------- components
+
+
+def near_dup_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(id, component) labels over the near-dup pair graph: component =
+    the minimum id transitively reachable. The dedup-pipeline step after
+    pair generation — a keeper per CLUSTER (pairs alone under-delete:
+    A~B, B~C must collapse A,B,C together even when A~C wasn't found).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own and its neighbors' labels; converges in
+    graph-diameter rounds (near-dup clusters are dense, so a handful;
+    a 100 TB run with long chains would swap in large-star/small-star
+    contraction, which is the same join pattern in O(log n) rounds).
+    Each round is one shuffle join + one aggregation; lineage is cut
+    with localCheckpoint so plans don't grow with iterations. Raises
+    if max_iter rounds don't converge — a silently partial clustering
+    would corrupt downstream keeper selection.
+    """
+    labels = nodes.select(F.col(id_col).alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    )
+    half = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    edges = half.union(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.select(F.col("id").alias("v"), "comp"), "v")
+            .groupBy("u")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .select(F.col("u").alias("id"), "nbr_comp")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("id"), F.col("comp").alias("component"))
+    raise RuntimeError(
+        f"near_dup_components did not converge in {max_iter} rounds"
+    )
+
+
 # ---------------------------------------------------------------- embeddings
 
 

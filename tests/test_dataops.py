@@ -506,3 +506,33 @@ def test_ivf_topk_finds_planted_neighbors(spark):
         corpus, queries, "id", "v", dim=16, k=1, n_centroids=8, nprobe=3
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_near_dup_components_matches_union_find(spark):
+    """Chain transitivity (A-B, B-C => one cluster), plus isolated nodes
+    keeping their own label, vs an independent union-find oracle."""
+    edges = [(1, 2), (2, 3), (5, 6), (10, 11), (11, 12), (12, 13)]
+    node_ids = list(range(1, 15))
+
+    parent = {i: i for i in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    exp = {}
+    for i in node_ids:
+        root = find(i)
+        exp[i] = min(j for j in node_ids if find(j) == root)
+
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.id: r.component
+        for r in dedup.near_dup_components(nodes, pairs).collect()
+    }
+    assert got == exp
