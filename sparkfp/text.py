@@ -44,6 +44,33 @@ def bpe_like_token_count(text: str | Column) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
 
 
+# PII patterns, ASCII-only so Java regex (Spark) and RE2 (DuckDB
+# oracle) agree. Applied in THIS order (emails before phones, so the
+# digits inside an address can't half-match the phone pattern).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IPV4]"),
+    ("phone", r"\+?[0-9][0-9()\- ]{7,}[0-9]", "[PHONE]"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str, out_col: str = "redacted") -> DataFrame:
+    """Training-data PII scrub: replace emails / IPv4s / phone-shaped
+    digit runs with typed placeholders and count each kind per row —
+    pure Column regexes (JVM-side, one projection), no UDF."""
+    c = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("long").alias(
+            f"n_{kind}"
+        )
+        for kind, pat, _ in PII_PATTERNS
+    ]
+    red = c
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return df.select("*", *counts, red.alias(out_col))
+
+
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     """Length / punctuation / stopword / repetition features + a
     composite quality score, all as one projection."""

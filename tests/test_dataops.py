@@ -536,3 +536,37 @@ def test_near_dup_components_matches_union_find(spark):
         for r in dedup.near_dup_components(nodes, pairs).collect()
     }
     assert got == exp
+
+
+def test_parquet_scan_pushdown_and_pruning(spark):
+    """Filters reach the parquet scan (PushedFilters) and the scan reads
+    only the projected columns (ReadSchema) — at 100 TB an unpushed
+    filter or unpruned scan is the difference between reading a
+    partition and reading the lake."""
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "event_id" in read_schema and "user_id" in read_schema
+    assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_redact_pii_positive_cases(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+spam@example.co.uk or call +1 (555) 123-4567"),
+            (2, "server at 192.168.1.254 answered"),
+            (3, "no pii here"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r for r in text.redact_pii(df, "text").collect()}
+    assert out[1].n_email == 1 and out[1].n_phone == 1
+    assert out[1].redacted == "mail me at [EMAIL] or call [PHONE]"
+    assert out[2].n_ipv4 == 1 and out[2].redacted == "server at [IPV4] answered"
+    assert out[3].redacted == "no pii here"
+    assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (0, 0, 0)
