@@ -155,8 +155,24 @@ def lowess(
         x = np.arange(n, dtype=float)
         rw = np.ones(n)
         out = y.astype(float).copy()
+        # Interior fast path (it == 0): with integer positions the k-NN
+        # bandwidth of every interior row is h = k//2 and the tricube
+        # kernel is symmetric, so the local-LINEAR fit at the window
+        # center equals the weighted MEAN (the slope term multiplies
+        # x_i - weighted_mean(x) = 0) — one FIR correlation replaces
+        # the per-row loop; only the < h edge rows (asymmetric
+        # neighborhoods) still loop. Robust iterations reweight rows
+        # and break the symmetry, so it > 0 keeps the general loop.
+        h_int = k // 2
+        if it == 0 and n > 2 * h_int and h_int > 0:
+            d = np.abs(np.arange(-h_int, h_int + 1, dtype=float))
+            kern = np.clip(1.0 - (d / h_int) ** 3, 0.0, None) ** 3
+            out[h_int: n - h_int] = np.correlate(y, kern, mode="valid") / kern.sum()
+            edge_rows = list(range(h_int)) + list(range(n - h_int, n))
+        else:
+            edge_rows = list(range(n))
         for _ in range(it + 1):
-            for i in range(n):
+            for i in edge_rows:
                 d = np.abs(x - x[i])
                 h = np.partition(d, k - 1)[k - 1]
                 if h <= 0:
