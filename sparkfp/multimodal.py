@@ -99,7 +99,11 @@ def decode_media(raw: bytes, codec: str, deterministic_fake: bool = False) -> np
         return _codec.decode(raw, codec)
     if deterministic_fake:
         h = np.frombuffer(raw[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
-        rng = np.random.Generator(np.random.Philox(key=[h, np.uint64(0)]))
+        # key dtype explicit: list-of-mixed-ints promotes to float64 and
+        # rounds the key (verified equal to the previous uint64-list form)
+        rng = np.random.Generator(
+            np.random.Philox(key=np.array([h, 0], dtype=np.uint64))
+        )
         return rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8).astype(np.uint8)
     raise UnsupportedCodec(codec)
 

@@ -1,0 +1,102 @@
+"""Engine vs independent-oracle equivalence for the audio DSP chain.
+
+tools/dsp_oracle.py is a from-scratch second implementation (direct
+DFT, naive peak/pair/vote loops, scalar decoders — no code shared with
+sparkfp/). These tests close the verification triangle:
+
+    engine == oracle            (this file)
+    oracle == committed fixture (this file: fixtures are *generated*
+                                 by the oracle — tools/gen_audio_fixtures.py)
+    engine == committed fixture (test_matching.py::test_audio_fixtures_current,
+                                 and the driver's per-round hash gate)
+
+Reference parity anchor: flatMap->window->probe semantics of
+src/flink_job/job.py:63-82 and src/postprocess/save_fingerprints.py:140-153.
+"""
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import tools.dsp_oracle as orc
+import tools.gen_audio_fixtures as gen
+from sparkfp import codec, dsp, matching, synth
+
+N_TRACKS = 4
+TRACK_IDS = synth.default_track_ids(N_TRACKS)
+
+
+def test_contract_constants_agree():
+    """Both implementations restate the analysis contract; they must agree."""
+    assert (orc.N_FFT, orc.HOP, orc.FAN_OUT, orc.MAX_DT_FRAMES) == (
+        dsp.N_FFT,
+        dsp.HOP,
+        dsp.FAN_OUT,
+        dsp.MAX_DT_FRAMES,
+    )
+    assert orc.PEAK_FACTOR == dsp.PEAK_FACTOR
+    assert orc.band_edges() == list(dsp._BAND_EDGES)
+    assert (orc.OFFSET_BIN_MS, orc.MIN_VOTES, orc.MIN_SCORE) == (
+        matching.OFFSET_BIN_MS,
+        matching.MIN_VOTES,
+        matching.MIN_SCORE,
+    )
+
+
+@pytest.mark.parametrize("codec_name", ["pcm_s16le", "ulaw"])
+def test_decode_engine_equals_oracle(codec_name):
+    rng = np.random.default_rng(11)
+    pcm = (0.4 * rng.standard_normal(5000)).astype(np.float32)
+    raw = codec.encode(pcm, codec_name)
+    eng = codec.decode(raw, codec_name)
+    ora = np.array(orc.decode(raw, codec_name))
+    assert np.array_equal(eng.astype(np.float64), ora)
+
+
+@pytest.mark.parametrize("codec_name", ["pcm_s16le", "ulaw"])
+def test_landmarks_engine_equals_oracle(codec_name):
+    """Exact (hash, t_ms) multiset equality per clip, both codecs,
+    noise and excerpt clips alike."""
+    for i in range(8):
+        cid = f"clip_{i:08d}"
+        _, raw, sr, _, _, _, _ = synth.clip_row(cid, TRACK_IDS, codec_name=codec_name)
+        h, t = dsp.extract_clip_landmarks(raw, codec_name, sr)
+        eng = Counter(zip(h.tolist(), t.tolist()))
+        ora = Counter(orc.clip_landmarks(raw, codec_name, sr))
+        assert eng == ora, f"{cid} landmark multiset diverged"
+        assert sum(eng.values()) > 0 or i in ()  # noise clips still landmark
+
+
+def test_match_engine_equals_oracle(spark):
+    """Full pipeline: Spark relational matcher == dict-vote oracle,
+    including vote counts, offsets, thresholds and score."""
+    index = matching.build_index(synth.tracks(spark, n_tracks=N_TRACKS))
+    clips = synth.clips(spark, n_clips=24, n_tracks=N_TRACKS)
+    eng = {
+        r.clip_id: (r.matched_track, r.offset_ms, r.vote_count, round(r.score, 9))
+        for r in matching.match_pipeline(clips, index).collect()
+    }
+    tracks = [
+        (t, codec.encode(synth.track_pcm(t), "pcm_s16le"), "pcm_s16le", synth.SR_HZ)
+        for t in TRACK_IDS
+    ]
+    oidx = orc.build_index(tracks)
+    ora = {}
+    for i in range(24):
+        cid, raw, sr, dur, cname, _, _ = synth.clip_row(cid := f"clip_{i:08d}", TRACK_IDS)
+        m = orc.match_clip(orc.clip_landmarks(raw, cname, sr), oidx, dur)
+        if m is not None:
+            ora[cid] = (m[0], m[1], m[2], round(m[3], 9))
+    assert eng == ora
+
+
+def test_fixtures_equal_oracle_regeneration():
+    """The committed fixtures must be exactly what the oracle generates
+    today — i.e. they are oracle output, not engine output."""
+    for name in gen.GENERATORS:
+        new = gen.generate(name)
+        old = pd.read_parquet(f"fixtures/{name}_expected.parquet")
+        old = old.sort_values(list(old.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(new, old[list(new.columns)], check_dtype=True)

@@ -1,0 +1,277 @@
+"""Independent oracle for the audio fingerprint chain.
+
+This module is a from-scratch second implementation of the landmark
+DSP + matcher semantics, used ONLY to generate the committed
+`fixtures/*_expected.parquet` oracles and to verify the engine in
+pytest. It deliberately shares **no code** with `sparkfp/`:
+
+- decode: `struct` loop for PCM, a table built from the ITU-T G.711
+  expansion formula for mu-law (vs the engine's vectorized
+  `np.frombuffer` / bit-twiddling paths in sparkfp/codec.py);
+- spectrogram: direct DFT (explicit complex-exponential matrix, no
+  `np.fft`), float64 end-to-end (vs the engine's strided float32
+  `rfft` in sparkfp/dsp.py);
+- peaks / landmark pairs: naive O(frames x bands x bins) and
+  O(n_peaks x fan_out) Python loops (vs the engine's vectorized
+  argmax / shifted-slice pairing);
+- matcher: plain-dict offset-histogram voting (vs the engine's
+  groupBy/window plan and the fused searchsorted matcher).
+
+The analysis parameters are restated here from the published scheme
+(Wang 2003 constellation hashing) — they are the *contract*, so both
+implementations declare them independently; a test cross-checks they
+agree. Reference parity anchor: the reference's flatMap->window->probe
+semantics (src/flink_job/job.py:63-82,
+src/postprocess/save_fingerprints.py:140-153).
+
+If this oracle and the engine ever disagree, the engine is wrong (or
+the contract changed intentionally — then update BOTH and regenerate
+fixtures via tools/gen_audio_fixtures.py).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+
+# ---- contract constants (restated, not imported) ----
+N_FFT = 512
+HOP = 256
+N_BANDS = 6
+PEAK_FACTOR = 2.0
+FAN_OUT = 5
+MAX_DT_FRAMES = 32
+OFFSET_BIN_MS = 100
+MIN_VOTES = 200
+MIN_SCORE = 50.0
+
+
+def round_half_up(x: float, digits: int) -> float:
+    """Spark's ROUND(col, n): HALF_UP on the shortest decimal repr of
+    the double (BigDecimal.valueOf semantics)."""
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
+# ------------------------------------------------------------- decode
+
+
+def _ulaw_expand_table() -> list[int]:
+    """ITU-T G.711 mu-law expansion, one byte at a time from the spec
+    formula: magnitude = ((mantissa << 3) + 132) << exponent, minus the
+    132 bias, sign from the top bit (byte stored complemented)."""
+    table = []
+    for byte in range(256):
+        u = (~byte) & 0xFF
+        exponent = (u >> 4) & 0x07
+        mantissa = u & 0x0F
+        magnitude = (((mantissa << 3) + 132) << exponent) - 132
+        table.append(-magnitude if (u & 0x80) else magnitude)
+    return table
+
+
+_ULAW_TABLE = _ulaw_expand_table()
+
+
+def decode(raw: bytes, codec_name: str) -> list[float]:
+    """bytes -> PCM floats in [-1, 1]; scalar loops, float64."""
+    if codec_name == "pcm_s16le":
+        return [s[0] / 32768.0 for s in struct.iter_unpack("<h", raw)]
+    if codec_name == "ulaw":
+        return [_ULAW_TABLE[b] / 32768.0 for b in raw]
+    raise ValueError(f"oracle cannot decode codec {codec_name!r}")
+
+
+# --------------------------------------------------------- spectrogram
+
+_DFT = None  # cached (N_FFT x N_FFT//2+1) complex exponential matrix
+
+
+def _dft_matrix() -> np.ndarray:
+    global _DFT
+    if _DFT is None:
+        n = np.arange(N_FFT, dtype=np.float64)
+        k = np.arange(N_FFT // 2 + 1, dtype=np.float64)
+        _DFT = np.exp(-2j * math.pi * np.outer(n, k) / N_FFT)
+    return _DFT
+
+
+def spectrogram(pcm: list[float]) -> np.ndarray:
+    """Direct-DFT magnitude spectrogram (frames x N_FFT//2+1), float64.
+
+    Hann window from the closed form w[i] = 0.5 - 0.5 cos(2 pi i/(N-1)).
+    """
+    x = list(pcm)
+    if len(x) < N_FFT:
+        x = x + [0.0] * (N_FFT - len(x))
+    win = [0.5 - 0.5 * math.cos(2.0 * math.pi * i / (N_FFT - 1)) for i in range(N_FFT)]
+    n_frames = 1 + (len(x) - N_FFT) // HOP
+    dft = _dft_matrix()
+    frames = np.empty((n_frames, N_FFT), dtype=np.float64)
+    for f in range(n_frames):
+        seg = x[f * HOP : f * HOP + N_FFT]
+        frames[f, :] = [s * w for s, w in zip(seg, win)]
+    return np.abs(frames @ dft)
+
+
+# --------------------------------------------------------------- peaks
+
+
+def band_edges() -> list[int]:
+    """Geometric band boundaries over bins [2, N_FFT//2+1], rounded
+    half-to-even, deduplicated — restated from the contract."""
+    lo, hi = 2.0, float(N_FFT // 2 + 1)
+    vals = [lo * (hi / lo) ** (i / N_BANDS) for i in range(N_BANDS + 1)]
+    out: list[int] = []
+    for v in vals:
+        r = round(v)
+        if r not in out:
+            out.append(r)
+    return sorted(out)
+
+
+def peaks(mag: np.ndarray) -> list[tuple[int, int]]:
+    """Per-frame, per-band maxima above 2x the global mean magnitude.
+
+    Naive scan; returns (frame, bin) sorted by (frame, bin)."""
+    if mag.size == 0:
+        return []
+    total = 0.0
+    for row in mag:
+        for v in row:
+            total += float(v)
+    thresh = PEAK_FACTOR * (total / mag.size)
+    edges = band_edges()
+    out: list[tuple[int, int]] = []
+    for f in range(mag.shape[0]):
+        for b in range(len(edges) - 1):
+            lo, hi = edges[b], edges[b + 1]
+            if hi <= lo:
+                continue
+            best_bin, best_val = -1, -1.0
+            for k in range(lo, min(hi, mag.shape[1])):
+                v = float(mag[f, k])
+                if v > best_val:
+                    best_bin, best_val = k, v
+            if best_bin >= 0 and best_val > thresh:
+                out.append((f, best_bin))
+    out.sort()
+    return out
+
+
+# ----------------------------------------------------------- landmarks
+
+
+def landmarks(pks: list[tuple[int, int]], sr_hz: int) -> list[tuple[int, int]]:
+    """Anchor-target pairs over the next FAN_OUT peaks (by index), dt in
+    (0, MAX_DT_FRAMES]; hash = (f_a << 19) | (f_t << 10) | dt.
+
+    Returns [(hash, t_ms)] with t_ms = floor(frame * HOP * 1000 / sr)."""
+    out = []
+    n = len(pks)
+    for i in range(n):
+        fr_a, bin_a = pks[i]
+        for j in range(i + 1, min(i + FAN_OUT + 1, n)):
+            fr_t, bin_t = pks[j]
+            dt = fr_t - fr_a
+            if dt <= 0 or dt > MAX_DT_FRAMES:
+                continue
+            h = (bin_a << 19) | (bin_t << 10) | dt
+            t_ms = (fr_a * HOP * 1000) // sr_hz
+            out.append((h, t_ms))
+    return out
+
+
+def clip_landmarks(raw: bytes, codec_name: str, sr_hz: int) -> list[tuple[int, int]]:
+    return landmarks(peaks(spectrogram(decode(raw, codec_name))), sr_hz)
+
+
+# --------------------------------------------------------------- match
+
+
+def build_index(
+    tracks: list[tuple[str, bytes, str, int]],
+) -> dict[int, list[tuple[str, int]]]:
+    """[(track_id, bytes, codec, sr)] -> hash -> [(track_id, t_track_ms)]."""
+    idx: dict[int, list[tuple[str, int]]] = {}
+    for tid, raw, codec_name, sr in tracks:
+        for h, t in clip_landmarks(raw, codec_name, sr):
+            idx.setdefault(h, []).append((tid, t))
+    return idx
+
+
+def _trunc_div(v: int, d: int) -> int:
+    """Truncate-toward-zero division (Spark (x / d).cast(long))."""
+    return abs(v) // d * (1 if v >= 0 else -1)
+
+
+def match_clip(
+    lms: list[tuple[int, int]],
+    index: dict[int, list[tuple[str, int]]],
+    dur_ms: int,
+    bin_ms: int = OFFSET_BIN_MS,
+    min_votes: int = MIN_VOTES,
+    min_score: float = MIN_SCORE,
+) -> tuple[str, int, int, float] | None:
+    """Offset-histogram vote over a plain dict; best by
+    (-votes, track_id, offset_bin); thresholds as in the contract.
+
+    Returns (matched_track, offset_ms, vote_count, score) or None."""
+    votes: Counter = Counter()
+    for h, t_ms in lms:
+        for tid, t_track in index.get(h, ()):
+            votes[(tid, _trunc_div(t_track - t_ms, bin_ms))] += 1
+    if not votes:
+        return None
+    best_n = max(votes.values())
+    tid, obin = min(k for k, n in votes.items() if n == best_n)
+    score = best_n / (dur_ms / 1000.0)
+    if best_n < min_votes or score < min_score:
+        return None
+    return tid, obin * bin_ms, best_n, score
+
+
+# ------------------------------------------------- multimodal features
+
+
+def byte_features(raw: bytes) -> tuple[int, float, float, float]:
+    """(n_bytes, mean, shannon entropy bits, zero ratio) — scalar math."""
+    n = len(raw)
+    if n == 0:
+        return 0, 0.0, 0.0, 0.0
+    counts = Counter(raw)
+    mean = sum(b * c for b, c in counts.items()) / n
+    entropy = -sum((c / n) * math.log2(c / n) for c in counts.values())
+    return n, mean, entropy, counts.get(0, 0) / n
+
+
+def frame_features(
+    raw: bytes, codec_name: str
+) -> tuple[float, float, bool]:
+    """(frame_mean, frame_std, decoded). Audio decodes via the oracle
+    decoder; image/video follow the documented deterministic-fake spec
+    (Philox keyed on the first 8 payload bytes, 16x16x3 uint8) — the
+    fake's *spec* is shared, its surrounding code is not."""
+    if codec_name in ("pcm_s16le", "ulaw"):
+        vals = decode(raw, codec_name)
+    elif codec_name in ("jpeg", "png", "h264"):
+        key = int.from_bytes(raw[:8].ljust(8, b"\0"), "little")
+        # explicit uint64 dtype: a plain [int, 0] list detours through
+        # float64 inside numpy and silently rounds the key
+        rng = np.random.Generator(
+            np.random.Philox(key=np.array([key, 0], dtype=np.uint64))
+        )
+        vals = [
+            float(v)
+            for v in rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8).ravel()
+        ]
+    else:
+        return float("nan"), float("nan"), False
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / n
+    return mean, math.sqrt(var), True

@@ -1,45 +1,154 @@
 """Regenerate the committed oracle fixtures for the audio/multimodal
-driver queries (audio_match, audio_landmarks, media_byte_features).
+driver queries (audio_match, audio_landmarks, media_byte_features,
+media_frame_features).
 
-These three queries synthesize their own deterministic input (seeded
-Philox synth — sparkfp/synth.py), so their expected output is a fixed
-table: precompute it once, commit it under fixtures/, and give each
-query an ``oracle_sql`` of ``SELECT ... FROM read_parquet(fixture)``
-so the driver's rows/schema/value-hash gate applies to them like any
-SQL-expressible query. tests/test_matching.py::test_audio_fixtures_current
-fails if the engine output drifts from the committed fixtures — rerun
-this script (and review the diff!) after any intentional DSP/matcher
-change.
+The expected values are computed by the **independent oracle**
+(tools/dsp_oracle.py — direct-DFT spectrogram, naive peak/pair/vote
+loops, scalar decoders; zero code shared with sparkfp/), NOT by the
+engine, so the driver's rows/schema/value-hash gate verifies the
+engine against independently-coded ground truth rather than pinning
+its own output. The inputs are the same deterministic seeded synth
+rows (sparkfp/synth.py) the queries in __spark_entry__.py construct —
+synth is the data *generator*, not the system under test.
+
+tests/test_dsp_oracle.py asserts engine == oracle == committed
+fixture; rerun this script (and review the diff!) after any
+intentional contract change to the DSP/matcher.
 
 Usage: python tools/gen_audio_fixtures.py
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 import sys
+from collections import Counter
+
+import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import __spark_entry__ as entrymod  # noqa: E402
-from sparkfp.session import get_spark  # noqa: E402
+import tools.dsp_oracle as orc  # noqa: E402
+from sparkfp import codec, synth  # noqa: E402  (input construction only)
 
-FIXTURE_DIR = entrymod.FIXTURE_DIR
-AUDIO_QUERIES = entrymod.FIXTURE_QUERIES
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures"
+)
+
+# input shapes — keep in lockstep with the queries in __spark_entry__.py
+N_TRACKS = 4
+N_MATCH_CLIPS = 24
+N_LANDMARK_CLIPS = 16
+N_BYTE_CLIPS = 16
+N_FRAME_CLIPS = 8
+N_FRAME_IMAGES = 4
+
+
+def _clip(i: int, track_ids: list[str]) -> tuple:
+    return synth.clip_row(f"clip_{i:08d}", track_ids)
+
+
+def gen_audio_match(track_ids: list[str]) -> pd.DataFrame:
+    tracks = [
+        (t, codec.encode(synth.track_pcm(t), "pcm_s16le"), "pcm_s16le", synth.SR_HZ)
+        for t in track_ids
+    ]
+    index = orc.build_index(tracks)
+    rows = []
+    for i in range(N_MATCH_CLIPS):
+        cid, raw, sr, dur, cname, _, _ = _clip(i, track_ids)
+        m = orc.match_clip(orc.clip_landmarks(raw, cname, sr), index, dur)
+        if m is not None:
+            rows.append((cid, m[0], m[1], m[2], orc.round_half_up(m[3], 4)))
+    return pd.DataFrame(
+        rows, columns=["clip_id", "matched_track", "offset_ms", "vote_count", "score"]
+    ).astype({"offset_ms": "int64", "vote_count": "int64", "score": "float64"})
+
+
+def gen_audio_landmarks(track_ids: list[str]) -> pd.DataFrame:
+    rows = []
+    for i in range(N_LANDMARK_CLIPS):
+        cid, raw, sr, _, cname, _, _ = _clip(i, track_ids)
+        lms = orc.clip_landmarks(raw, cname, sr)
+        rows.append((cid, len(lms), len({h for h, _ in lms})))
+    return pd.DataFrame(
+        rows, columns=["clip_id", "n_landmarks", "n_distinct_hashes"]
+    ).astype({"n_landmarks": "int64", "n_distinct_hashes": "int64"})
+
+
+def gen_media_byte_features(track_ids: list[str]) -> pd.DataFrame:
+    rows = []
+    for i in range(N_BYTE_CLIPS):
+        cid, raw, _, _, _, _, _ = _clip(i, track_ids)
+        n, mean, ent, zr = orc.byte_features(raw)
+        rows.append(
+            (
+                cid,
+                n,
+                orc.round_half_up(mean, 4),
+                orc.round_half_up(ent, 4),
+                orc.round_half_up(zr, 4),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["media_id", "n_bytes", "byte_mean", "byte_entropy", "zero_ratio"],
+    ).astype({"n_bytes": "int64"})
+
+
+def frame_feature_inputs(track_ids: list[str]) -> list[tuple[str, bytes, str]]:
+    items = [
+        (f"clip_{i:08d}", _clip(i, track_ids)[1], "pcm_s16le")
+        for i in range(N_FRAME_CLIPS)
+    ]
+    items += [
+        (f"img_{i:02d}", hashlib.md5(b"img%d" % i).digest() * 64, "jpeg")
+        for i in range(N_FRAME_IMAGES)
+    ]
+    return items
+
+
+def gen_media_frame_features(track_ids: list[str]) -> pd.DataFrame:
+    rows = []
+    for mid, raw, cname in frame_feature_inputs(track_ids):
+        mean, std, decoded = orc.frame_features(raw, cname)
+        rows.append(
+            (
+                mid,
+                orc.round_half_up(mean, 4) if decoded else None,
+                orc.round_half_up(std, 4) if decoded else None,
+                decoded,
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["media_id", "frame_mean", "frame_std", "decoded"]
+    ).astype({"frame_mean": "float64", "frame_std": "float64", "decoded": "bool"})
+
+
+GENERATORS = {
+    "audio_match": gen_audio_match,
+    "audio_landmarks": gen_audio_landmarks,
+    "media_byte_features": gen_media_byte_features,
+    "media_frame_features": gen_media_frame_features,
+}
+
+
+def generate(name: str) -> pd.DataFrame:
+    """Oracle-expected table for one fixture query, sorted canonically."""
+    pdf = GENERATORS[name](synth.default_track_ids(N_TRACKS))
+    _count_check = Counter(pdf.columns)
+    assert all(v == 1 for v in _count_check.values())
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
 
 
 def main() -> None:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
-    spark = get_spark("gen-audio-fixtures", cores=8)
-    qs = entrymod.queries()
-    for name in AUDIO_QUERIES:
-        pdf = qs[name](spark, "/root/testdata/sf0.001").toPandas()
-        sort_cols = list(pdf.columns)
-        pdf = pdf.sort_values(sort_cols).reset_index(drop=True)
+    for name in GENERATORS:
+        pdf = generate(name)
         path = os.path.join(FIXTURE_DIR, f"{name}_expected.parquet")
         pdf.to_parquet(path, index=False)
         print(f"wrote {path}: {len(pdf)} rows, dtypes={dict(pdf.dtypes.astype(str))}")
-    spark.stop()
 
 
 if __name__ == "__main__":
