@@ -28,15 +28,20 @@ def effective_core_cap() -> int:
     0.9 s at 1 proc, 1.1 s at 8, 2.6 s at 32 — BENCH/BASELINE.md);
     unpinned local[32] Spark REGRESSES vs local[8]. Default cap 8,
     override with SPARKFP_MAX_LOCAL_CORES (set it to a huge value on
-    real hardware). Explicit ``cores=`` args bypass the cap — the
-    scaling harness pins its own CPU counts.
+    real hardware). The cap applies only to INFERRED core counts: an
+    explicit ``cores=`` arg or an explicit SPARK_GRAFT_CPUS env value
+    is honored verbatim (callers that opt in to the sandbox ceiling,
+    like bench.py, clamp themselves and say so).
     """
     return int(os.environ.get("SPARKFP_MAX_LOCAL_CORES", "8"))
 
 
 def default_parallelism() -> int:
-    n = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    return max(1, min(n, effective_core_cap()))
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env is not None:
+        # driver contract: cores=None -> local[$SPARK_GRAFT_CPUS], exactly
+        return max(1, int(env))
+    return max(1, min(os.cpu_count() or 8, effective_core_cap()))
 
 
 def get_spark(

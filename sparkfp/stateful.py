@@ -161,9 +161,13 @@ def rate_limit_per_key(
 
     The emit decision is a greedy chain (each emission moves the
     threshold), which no window function expresses — it's a per-key
-    sequential scan, so this is applyInPandas per key (one shuffle;
-    groups are independent, any key cardinality scales out). Emits the
-    surviving rows unchanged.
+    sequential dependency, so this is applyInPandas per key (one
+    shuffle; groups are independent, any key cardinality scales out).
+    Within a group the chain is computed by searchsorted jumps: each
+    emission looks up the next emittable row in O(log n), so the Python
+    loop runs once per EMITTED row, not once per input row (a group of
+    n rows with e emissions costs O(n log n) numpy + O(e) Python).
+    Emits the surviving rows unchanged.
     """
     import numpy as np
     import pandas as pd  # noqa: F401
@@ -173,14 +177,17 @@ def rate_limit_per_key(
 
     def limit(pdf):
         pdf = pdf.sort_values(order).reset_index(drop=True)
-        ts = pdf[ts_col].astype("datetime64[ns]").astype(np.int64) // 10**9
-        keep = np.zeros(len(pdf), dtype=bool)
-        last = None
-        for i, t in enumerate(ts):
-            if last is None or t - last >= min_interval_s:
-                keep[i] = True
-                last = t
-        return pdf[keep]
+        ts = (
+            pdf[ts_col].astype("datetime64[ns]").astype(np.int64) // 10**9
+        ).to_numpy()
+        # nxt[i] = first row index emittable after an emission at row i
+        nxt = np.searchsorted(ts, ts + min_interval_s, side="left")
+        keep_idx = []
+        i, n = 0, len(ts)
+        while i < n:
+            keep_idx.append(i)
+            i = nxt[i]
+        return pdf.iloc[keep_idx]
 
     return df.groupBy(*key_cols).applyInPandas(limit, schema)
 
@@ -192,27 +199,51 @@ def rate_limit_stream(
     min_interval_s: int,
     watermark: str = "10 seconds",
 ) -> DataFrame:
-    """Streaming T8: keyed state = last emitted event-time; a row passes
-    iff >= min_interval_s after it. State is one long per key — the
-    Flink keyed-state analog of the reference's persisted
-    last_run_by_equip dict (llm_job.py:40-70)."""
+    """Streaming T8: keyed state = (last emitted event-time, buffer of
+    pending event-times). Rows are BUFFERED until the watermark passes
+    them, then released in event-time order through the same greedy
+    chain as the batch path — so out-of-order arrival across
+    micro-batches (any disorder within the watermark delay) yields
+    exactly the batch/oracle emit set; rows later than the watermark
+    are dropped by Spark upstream (standard T2 semantics). The Flink
+    keyed-state analog of the reference's persisted last_run_by_equip
+    dict (llm_job.py:40-70).
+
+    An EventTimeTimeout is armed at the earliest buffered row so tails
+    flush in Spark's no-data micro-batch once the watermark advances —
+    a group doesn't need new input to release ripe rows. Like any
+    watermark-closed operator, rows within the final watermark delay of
+    stream end stay buffered until a later event advances the
+    watermark.
+    """
+    import bisect
+
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = f"{key_col} string, ts_ms long"
-    state_schema = "last_emit_ms long"
+    state_schema = "last_emit_ms long, buf array<long>"
 
     def fn(key, pdfs, state: GroupState):
         (k,) = key
-        last = state.get[0] if state.exists else None
-        out = []
+        if state.exists:
+            last, buf = state.get
+            buf = list(buf) if buf is not None else []
+        else:
+            last, buf = None, []
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            for ts in pdf[ts_col]:
-                ts = int(ts)
-                if last is None or ts - last >= min_interval_s * 1000:
-                    out.append((k, ts))
-                    last = ts
-        state.update((last,))
+            buf.extend(int(t) for t in pdf[ts_col])
+        buf.sort()
+        wm = state.getCurrentWatermarkMs()
+        cut = bisect.bisect_right(buf, wm)
+        ready, buf = buf[:cut], buf[cut:]
+        out = []
+        for ts in ready:
+            if last is None or ts - last >= min_interval_s * 1000:
+                out.append((k, ts))
+                last = ts
+        state.update((last, buf))
+        if buf:
+            state.setTimeoutTimestamp(max(buf[0], wm + 1))
         yield pd.DataFrame(out, columns=[key_col, "ts_ms"])
 
     with_time = values.withColumn("event_time", F.timestamp_millis(F.col(ts_col)))
@@ -220,7 +251,7 @@ def rate_limit_stream(
         with_time.withWatermark("event_time", watermark)
         .groupBy(key_col)
         .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
         )
     )
 

@@ -44,31 +44,46 @@ def bpe_like_token_count(text: str | Column) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
 
 
-# PII patterns, ASCII-only so Java regex (Spark) and RE2 (DuckDB
-# oracle) agree. Applied in THIS order (emails before phones, so the
-# digits inside an address can't half-match the phone pattern).
+# PII patterns, ASCII-only and lookahead-free so Java regex (Spark)
+# and RE2 (DuckDB oracle) agree. Applied in THIS order (emails before
+# phones, so the digits inside an address can't half-match the phone
+# pattern). The phone pattern requires >= 7 digits in a separated
+# 3-4 / 3-3-4 shape (optional +country / (area)), or +<7-15 digits>;
+# bare unseparated digit runs are deliberately NOT phones (they are
+# usually ids/timestamps), and date/time strings (4-2-2 digit groups,
+# colon separators) don't fit the 3-then-4 group shape.
 PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IPV4]"),
-    ("phone", r"\+?[0-9][0-9()\- ]{7,}[0-9]", "[PHONE]"),
+    (
+        "phone",
+        r"\+[0-9]{7,15}"
+        r"|(?:\+?[0-9]{1,3}[\- ])?(?:\(?[0-9]{3}\)?[\- ]?)?[0-9]{3}[\- ][0-9]{4}",
+        "[PHONE]",
+    ),
 ]
 
 
 def redact_pii(df: DataFrame, text_col: str, out_col: str = "redacted") -> DataFrame:
     """Training-data PII scrub: replace emails / IPv4s / phone-shaped
     digit runs with typed placeholders and count each kind per row —
-    pure Column regexes (JVM-side, one projection), no UDF."""
-    c = F.col(text_col)
-    counts = [
-        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("long").alias(
-            f"n_{kind}"
+    pure Column regexes (JVM-side, one projection), no UDF.
+
+    Each kind is counted on the text with all PRIOR kinds already
+    redacted (the same text its replacement then runs on), so
+    n_<kind> always equals the number of [<KIND>] placeholders
+    emitted — a digit-heavy email local part can't double-count as a
+    phone."""
+    cur = F.col(text_col)
+    counts = []
+    for kind, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{kind}")
         )
-        for kind, pat, _ in PII_PATTERNS
-    ]
-    red = c
-    for _, pat, repl in PII_PATTERNS:
-        red = F.regexp_replace(red, pat, repl)
-    return df.select("*", *counts, red.alias(out_col))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select("*", *counts, cur.alias(out_col))
 
 
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:

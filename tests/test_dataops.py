@@ -538,6 +538,22 @@ def test_near_dup_components_matches_union_find(spark):
     assert got == exp
 
 
+def test_near_dup_components_path_graph_log_rounds(spark):
+    """Adversarial long chain: a 10^4-node path graph has diameter 10^4,
+    so min-label propagation needs ~10^4 rounds; the alternating
+    large-star/small-star contraction must collapse it to one component
+    within max_iter=16 (~log2 n) rounds or raise."""
+    n = 10_000
+    nodes = spark.range(n)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    labs = dedup.near_dup_components(nodes, pairs, max_iter=16)
+    comps = labs.groupBy("component").count().collect()
+    assert len(comps) == 1
+    assert comps[0]["component"] == 0 and comps[0]["count"] == n
+
+
 def test_parquet_scan_pushdown_and_pruning(spark):
     """Filters reach the parquet scan (PushedFilters) and the scan reads
     only the projected columns (ReadSchema) — at 100 TB an unpushed
@@ -570,3 +586,27 @@ def test_redact_pii_positive_cases(spark):
     assert out[2].n_ipv4 == 1 and out[2].redacted == "server at [IPV4] answered"
     assert out[3].redacted == "no pii here"
     assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (0, 0, 0)
+
+
+def test_redact_pii_counts_equal_placeholders_and_dates_survive(spark):
+    """Counts are taken on progressively redacted text (so a
+    digit-heavy email local part never double-counts as a phone), and
+    date/timestamp strings must NOT be redacted as phones."""
+    df = spark.createDataFrame(
+        [
+            (1, "mail 5551234567@example.com or 555-123-4567"),
+            (2, "deployed 2026-01-01 12:34:56 and again 16-08-2026 09:15"),
+            (3, "intl +4420794609 58 and local 123 4567"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r for r in text.redact_pii(df, "text").collect()}
+    # digit-heavy email counts once as email, zero as phone
+    assert (out[1].n_email, out[1].n_phone) == (1, 1)
+    assert out[1].redacted == "mail [EMAIL] or [PHONE]"
+    # dates / timestamps untouched
+    assert out[2].redacted == out[2].text
+    assert (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 0, 0)
+    # +international run and separated 3-4 local both redact
+    assert out[3].n_phone == 2
+    assert out[3].redacted == "intl [PHONE] 58 and local [PHONE]"

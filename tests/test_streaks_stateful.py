@@ -229,9 +229,14 @@ def test_rate_limit_batch_equals_stream_equals_oracle(spark, tmp_path):
     src, sink_dir, ckpt = (
         str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt")
     )
-    streaming.write_stream_source(
-        df.select("k", "ts_ms"), src, n_files=3, order_col="ts_ms"
+    # sentinel on a throwaway key: the buffered rate limiter (like any
+    # watermark-closed operator) releases a row only once the watermark
+    # passes it, so the stream needs one later event to flush the tail
+    flush_ms = int(pdf.ts_ms.max()) + 3_600_000
+    with_sentinel = df.select("k", "ts_ms").unionByName(
+        spark.createDataFrame([("ZZ_flush", flush_ms)], "k string, ts_ms long")
     )
+    streaming.write_stream_source(with_sentinel, src, n_files=3, order_col="ts_ms")
     stream = (
         spark.readStream.schema("k string, ts_ms long")
         .option("maxFilesPerTrigger", 1)
@@ -250,5 +255,54 @@ def test_rate_limit_batch_equals_stream_equals_oracle(spark, tmp_path):
     got_stream = {
         (r.k, pd.Timestamp(r.ts_ms, unit="ms"))
         for r in sink.read(spark).collect()
+        if r.k != "ZZ_flush"
     }
     assert got_stream == exp
+
+
+def test_rate_limit_stream_out_of_order_across_batches(spark, tmp_path):
+    """Disorder within the watermark across micro-batches must not
+    change the emit set: rows are buffered in keyed state and released
+    in event-time order once the watermark passes them. Arrival order
+    here is t=20min, then t=0/45min — a chain applied in arrival order
+    would emit {20} (0 is behind last_emit; 45-20 < 30min); the correct
+    event-time greedy emits {0, 45}."""
+    import time as _time
+
+    from sparkfp import stateful
+    from sparkfp.sink import ExactlyOnceParquetSink
+
+    base = int(pd.Timestamp("2026-02-01").timestamp() * 1000)
+    m = 60_000
+    src, sink_dir, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    )
+    batches = [
+        [("K", base + 20 * m)],
+        [("K", base + 0 * m), ("K", base + 45 * m)],
+        [("ZZ_flush", base + 24 * 60 * 60 * 1000)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "k string, ts_ms long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(0.05)  # distinct mtimes -> deterministic replay order
+    stream = (
+        spark.readStream.schema("k string, ts_ms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    limited = stateful.rate_limit_stream(
+        stream, "k", "ts_ms", min_interval_s=1800, watermark="3 hours"
+    )
+    sink = ExactlyOnceParquetSink(sink_dir)
+    q = (
+        limited.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {r.ts_ms for r in sink.read(spark).collect() if r.k == "K"}
+    assert got == {base + 0 * m, base + 45 * m}
