@@ -162,6 +162,151 @@ def minhash_lsh_candidates(
     )
 
 
+# ------------------------------------------------- streaming near-dup
+
+
+def banded_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ts_col: str,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """(id, ts, band_idx, band) rows — the shared explode step of the
+    batch and streaming near-dup suppressors. Signature materialized in
+    its own projection (see minhash_lsh_candidates for why)."""
+    rows_per_band = n_hashes // n_bands
+    sig_df = df.select(
+        F.col(id_col),
+        F.col(ts_col),
+        minhash_signature(text_col, n_hashes, k).alias("_sig"),
+    )
+    return sig_df.select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.posexplode(lsh_bands(F.col("_sig"), n_bands, rows_per_band)).alias(
+            "band_idx", "band"
+        ),
+    )
+
+
+def near_dup_suppress_batch(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ts_col: str,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Greedy online near-dup filter, batch form: a doc survives iff it
+    is the FIRST doc (by event time, id tiebreak) on EVERY one of its
+    LSH bands — i.e. nothing before it, kept or suppressed, claimed any
+    of its bands. Chain-consistent (a suppressed doc's bands still
+    block later docs), which is what makes the streaming twin's
+    band-keyed state sufficient: no cross-key negotiation is needed.
+    One shuffle on (band_idx, band) + one on id."""
+    from pyspark.sql.window import Window
+
+    banded = banded_docs(df, id_col, text_col, ts_col, n_hashes, n_bands, k)
+    w = Window.partitionBy("band_idx", "band").orderBy(ts_col, id_col)
+    survivors = (
+        banded.withColumn("_first", F.row_number().over(w) == 1)
+        .groupBy(id_col)
+        .agg(F.min(F.col("_first").cast("int")).alias("_all_first"))
+        .filter(F.col("_all_first") == 1)
+        .select(id_col)
+    )
+    return df.join(survivors, id_col, "left_semi")
+
+
+def near_dup_band_verdicts_stream(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    ts_col: str,
+    watermark: str = "10 seconds",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Streaming half of the near-dup suppressor: per-(band_idx, band)
+    keyed state buffers (ts, id) rows until the watermark passes them,
+    then releases them in event-time order, marking ``is_first`` on the
+    band's first-ever released row. ``ts_col`` is epoch millis.
+
+    All bands of a doc release at the SAME trigger (the release
+    condition, ts <= watermark, is identical for every band, and an
+    EventTimeTimeout armed at the earliest buffered row fires bands
+    that got no new input), so collapsing verdicts to per-doc survival
+    is a plain per-micro-batch groupBy — see collapse_band_verdicts,
+    applied inside foreachBatch. State per band = one bool + the
+    sub-watermark buffer; the watermark bounds both, exactly like
+    exact_dedup_stream's horizon.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    banded = banded_docs(
+        stream, id_col, text_col, ts_col, n_hashes, n_bands, k
+    ).withColumn("event_time", F.timestamp_millis(F.col(ts_col)))
+
+    out_schema = f"{id_col} string, ts_ms long, band_idx int, is_first boolean"
+    state_schema = "has_first boolean, buf_ts array<long>, buf_id array<string>"
+
+    def fn(key, pdfs, state: GroupState):
+        band_idx = int(key[0])
+        if state.exists:
+            has_first, buf_ts, buf_id = state.get
+            buf = list(zip(buf_ts or [], buf_id or []))
+        else:
+            has_first, buf = False, []
+        for pdf in pdfs:
+            buf.extend((int(t), str(d)) for t, d in zip(pdf[ts_col], pdf[id_col]))
+        buf.sort()
+        wm = state.getCurrentWatermarkMs()
+        ready = [(t, d) for t, d in buf if t <= wm]
+        buf = [(t, d) for t, d in buf if t > wm]
+        out = []
+        for t, d in ready:
+            out.append((d, t, band_idx, not has_first))
+            has_first = True
+        state.update(
+            (has_first, [t for t, _ in buf], [d for _, d in buf])
+        )
+        if buf:
+            state.setTimeoutTimestamp(max(buf[0][0], wm + 1))
+        yield pd.DataFrame(
+            out, columns=[id_col, "ts_ms", "band_idx", "is_first"]
+        )
+
+    return (
+        banded.withWatermark("event_time", watermark)
+        .groupBy("band_idx", "band")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
+def collapse_band_verdicts(verdicts: DataFrame, id_col: str, n_bands: int = 4) -> DataFrame:
+    """Per-doc survival from one micro-batch of band verdicts (use in
+    foreachBatch): a doc survives iff every one of its n_bands bands
+    marked it first."""
+    return (
+        verdicts.groupBy(id_col)
+        .agg(
+            F.count("*").alias("_n"),
+            F.min(F.col("is_first").cast("int")).alias("_all_first"),
+            F.min("ts_ms").alias("ts_ms"),
+        )
+        .filter((F.col("_n") == n_bands) & (F.col("_all_first") == 1))
+        .select(id_col, "ts_ms")
+    )
+
+
 # ---------------------------------------------------------------- n-gram Jaccard
 
 

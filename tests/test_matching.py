@@ -127,6 +127,64 @@ def test_match_with_shuffle_join_equals_broadcast(spark, clips, index):
     assert a == b
 
 
+def test_shuffle_join_skew_split_bounds_hot_hash(spark):
+    """The non-broadcast (bucketed shuffle-join) match path under a
+    Zipf landmark corpus: landmark hashes are hot-key-skewed in real
+    audio (common note pairs), and at 100 TB one hot hash must not pin
+    a whole join to one task. With AQE skew-join enabled the hot
+    partition is SPLIT (SortMergeJoin(skew=true) in the final adaptive
+    plan) and the result still equals the broadcast path. Thresholds
+    are lowered test-locally; production skew sizes clear the defaults.
+    """
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        n_hot, n_cold = 200_000, 2000
+        lm = spark.range(n_hot + n_cold).select(
+            F.when(F.col("id") < n_hot, F.lit(0)).otherwise(F.col("id")).alias("hash"),
+            F.concat(F.lit("clip_"), (F.col("id") % 50).cast("string")).alias(
+                "clip_id"
+            ),
+            (F.col("id") % 1000).cast("int").alias("t_ms"),
+        )
+        idx = spark.range(2000).select(
+            F.when(F.col("id") < 4, F.lit(0)).otherwise(F.col("id")).alias("hash"),
+            F.concat(F.lit("track_"), (F.col("id") % 4).cast("string")).alias(
+                "track_id"
+            ),
+            (F.col("id") % 500).cast("int").alias("t_track_ms"),
+        )
+        shuffled = matching.match(
+            lm, idx, broadcast_index=False, min_votes=1, min_score=0
+        )
+        got = sorted(map(tuple, shuffled.collect()))
+        plan = shuffled._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        exp = sorted(
+            map(
+                tuple,
+                matching.match(lm, idx, min_votes=1, min_score=0).collect(),
+            )
+        )
+        assert got == exp and len(got) > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_audio_fixtures_current(spark):
     """The committed oracle fixtures (fixtures/*_expected.parquet) must
     equal live engine output — they back the driver's hash gate for the

@@ -234,3 +234,117 @@ def test_exact_dedup_stream_emits_one_row_per_content(spark, tmp_path):
     assert sorted(got.text) == sorted(f"doc-{i}" for i in range(10))
     # first occurrence wins: every kept doc_id is the minimum for its text
     assert set(got.doc_id) == set(range(10))
+
+
+def test_near_dup_suppress_stream_equals_batch_equals_oracle(spark, tmp_path):
+    """Streaming near-dup suppressor (MinHash bands in keyed state,
+    buffered until the watermark) == batch twin == an independent
+    pure-Python md5-minhash oracle, on a seeded corpus with planted
+    near-dups arriving OUT OF ORDER across micro-batches."""
+    import hashlib
+
+    import pandas as pd
+
+    from sparkfp import dedup
+
+    base = 1_700_000_000_000
+    long0 = (
+        "the quick brown fox jumps over the lazy dog today while the sun "
+        "sets slowly behind the tall green hills and the river flows gently "
+        "past the old stone bridge"
+    )
+    long3 = (
+        "completely different text about spark shuffles and joins and "
+        "aggregations over large parquet tables stored in the lake"
+    )
+    texts = {
+        "d0": long0,
+        "d1": long0,  # exact dup: all 4 bands collide
+        "d2": long0.replace("jumps", "leaps"),  # near dup: 1 shared band
+        "d3": long3,
+        "d4": long3 + " house",  # near dup of d3: 3 shared bands
+        "d5": "yet another unrelated document discussing parquet metadata",
+    }
+    ts = {d: base + i * 60_000 for i, d in enumerate(sorted(texts))}
+
+    # ---- independent python oracle: md5 minhash -> bands -> greedy
+    def sig(text, n_hashes=16, kg=3):
+        toks = text.strip().split()
+        sh = [" ".join(toks[i:i + kg]) for i in range(max(len(toks) - kg + 1, 1))]
+        return [
+            min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in sh)
+            for i in range(n_hashes)
+        ]
+
+    def bands(s, n_bands=4, rpb=4):
+        return [
+            hashlib.md5("|".join(s[b * rpb:(b + 1) * rpb]).encode()).hexdigest()
+            for b in range(n_bands)
+        ]
+
+    seen, expect = set(), set()
+    for d in sorted(texts, key=lambda d: (ts[d], d)):
+        bs = [(i, b) for i, b in enumerate(bands(sig(texts[d])))]
+        if all(b not in seen for b in bs):
+            expect.add(d)
+        seen.update(bs)
+    assert expect == {"d0", "d3", "d5"}
+
+    pdf = pd.DataFrame(
+        [(d, ts[d], t) for d, t in texts.items()],
+        columns=["doc_id", "ts_ms", "text"],
+    )
+    df = spark.createDataFrame(pdf)
+
+    # ---- batch twin
+    got_batch = {
+        r.doc_id
+        for r in dedup.near_dup_suppress_batch(
+            df, "doc_id", "text", "ts_ms"
+        ).collect()
+    }
+    assert got_batch == expect
+
+    # ---- stream: shuffled arrival across 3 files (disorder < watermark)
+    src, sink_dir, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    )
+    arrival = [
+        ["d2", "d4"],  # d2 arrives before its near-dup source d0
+        ["d0", "d5", "d1"],
+        ["d3"],
+        ["zz_flush"],
+    ]
+    flush = ("zz_flush", base + 24 * 3600 * 1000, "flush sentinel row xyz")
+    rows_by_id = {d: (d, ts[d], texts[d]) for d in texts}
+    rows_by_id["zz_flush"] = flush
+    for group in arrival:
+        spark.createDataFrame(
+            [rows_by_id[d] for d in group], "doc_id string, ts_ms long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)
+    stream = (
+        spark.readStream.schema("doc_id string, ts_ms long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    verdicts = dedup.near_dup_band_verdicts_stream(
+        stream, "doc_id", "text", "ts_ms", watermark="2 hours"
+    )
+    sink = ExactlyOnceParquetSink(sink_dir)
+
+    def emit(batch_df, batch_id):
+        sink(dedup.collapse_band_verdicts(batch_df, "doc_id"), batch_id)
+
+    q = (
+        verdicts.writeStream.foreachBatch(emit)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got_stream = {
+        r.doc_id for r in sink.read(spark).collect() if r.doc_id != "zz_flush"
+    }
+    assert got_stream == expect
