@@ -117,3 +117,147 @@ def load_metadata_dim(spark: SparkSession, path: str, sheet: str | None = None) 
     if path.endswith(".csv"):
         return spark.read.option("header", True).option("inferSchema", True).csv(path)
     return spark.read.parquet(path)
+
+
+# ------------------------------------------------------------- S5 REST
+
+
+def group_tags(equipment_name: str, mapping: dict) -> list[dict]:
+    """Tag dedup (reference api.py:37-56): generic params that map to
+    the same physical (machine, tag) share ONE request; each fetched
+    record fans back out to every generic param in the group."""
+    groups: dict[tuple[str, str], list[str]] = {}
+    for generic_param, equipment_tag in mapping.items():
+        if isinstance(equipment_tag, dict):
+            key = (equipment_tag["equipment"], equipment_tag["tag"])
+        else:
+            key = (equipment_name, equipment_tag)
+        groups.setdefault(key, []).append(generic_param)
+    return [
+        {"machine": m, "tag": t, "params": ps}
+        for (m, t), ps in sorted(groups.items())
+    ]
+
+
+def _default_fetch(url: str, payload: str, headers: dict) -> tuple[int, str]:
+    """POST the reference's request shape; returns (status, body).
+    stdlib-only so executors need no extra deps."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        url,
+        data=payload.encode(),
+        headers={"Content-Type": "application/json", **(headers or {})},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, resp.read().decode()
+    except urllib.error.HTTPError as e:  # non-2xx still has a body/status
+        return e.code, e.read().decode()
+
+
+def rest_timeseries_source(
+    spark: SparkSession,
+    equipment_name: str,
+    mapping: dict,
+    start: int,
+    end: int,
+    url: str,
+    headers: dict | None = None,
+    max_retries: int = 3,
+    base_delay: float = 1.0,
+    fetch=None,
+) -> DataFrame:
+    """S5: REST time-series source (reference api.py:18-154), made
+    distributed: the deduped tag groups become a small request table
+    and ``mapInPandas`` fan-outs the HTTP fetches across executors —
+    each task runs the reference's retry loop (HTTP 429 -> exponential
+    backoff ``base_delay * 2**attempt`` up to ``max_retries``; other
+    non-200 or an ``{"error": ...}`` payload -> tag skipped), parses
+    dict-or-list JSON bodies, and fans each record out to every generic
+    param mapped to the tag. At a real deployment the request table is
+    (tag x time-slice) so a backfill parallelizes over both; the
+    per-task logic is identical.
+
+    Returns (param, machine, tag, timestamp, value) rows. ``fetch``
+    is injectable for tests (signature: (url, payload, headers) ->
+    (status_code, body_text)); default is a stdlib urllib POST.
+    """
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    groups = group_tags(equipment_name, mapping)
+    req_schema = T.StructType(
+        [
+            T.StructField("machine", T.StringType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("params", T.ArrayType(T.StringType())),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("param", T.StringType()),
+            T.StructField("machine", T.StringType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("timestamp", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    requests_df = spark.createDataFrame(groups, req_schema).repartition(
+        max(len(groups), 1)
+    )
+    do_fetch = fetch or _default_fetch
+    hdrs = dict(headers or {})
+
+    def run(batches):
+        import time as _time
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for machine, tag, params in zip(pdf["machine"], pdf["tag"], pdf["params"]):
+                payload = _json.dumps(
+                    {
+                        "machineName": machine,
+                        "parameterName": tag,
+                        "min": start,
+                        "max": end,
+                    }
+                )
+                records = None
+                for attempt in range(max_retries):
+                    status, body = do_fetch(url, payload, hdrs)
+                    if status == 429:
+                        _time.sleep(base_delay * (2**attempt))
+                        continue
+                    if status != 200:
+                        break
+                    parsed = _json.loads(body)
+                    if isinstance(parsed, dict):
+                        if "error" in parsed:
+                            break
+                        parsed = [parsed]
+                    records = parsed
+                    break
+                if not records:
+                    continue  # skipped tag (reference logs + moves on)
+                for param in params:
+                    for rec in records:
+                        rows.append(
+                            (
+                                param,
+                                machine,
+                                tag,
+                                int(rec["timestamp"]),
+                                float(rec["value"]),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows, columns=["param", "machine", "tag", "timestamp", "value"]
+            )
+
+    return requests_df.mapInPandas(run, out_schema)

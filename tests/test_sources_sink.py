@@ -166,3 +166,83 @@ def test_load_metadata_dim_csv_and_xlsx_gate(spark, tmp_path):
             z.writestr("stub.xml", "<x/>")
         with _pytest.raises(NotImplementedError):
             sources.load_metadata_dim(spark, str(xlsx))
+
+
+def test_rest_timeseries_source_backoff_dedup_and_skip(spark):
+    """S5 REST source (reference api.py:18-154) against a live local
+    HTTP stub: tag dedup (two generic params sharing one physical tag
+    -> ONE request, rows fanned out to both), HTTP 429 -> exponential
+    backoff then success, dict payloads treated as single records,
+    persistent non-200 tags skipped without failing the job."""
+    import json
+    import threading
+    from collections import Counter
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from sparkfp import sources
+
+    calls = Counter()
+    lock = threading.Lock()
+
+    class Stub(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            tag = body["parameterName"]
+            with lock:
+                calls[tag] += 1
+                n = calls[tag]
+            if tag == "TAG_A":  # 429 twice, then a 2-record list
+                if n <= 2:
+                    self.send_response(429)
+                    self.end_headers()
+                    return
+                out = [
+                    {"timestamp": body["min"], "value": 1.5},
+                    {"timestamp": body["max"], "value": 2.5},
+                ]
+            elif tag == "TAG_B":  # single dict record
+                out = {"timestamp": body["min"], "value": 9.0}
+            else:  # TAG_C: hard failure -> tag skipped
+                self.send_response(500)
+                self.end_headers()
+                self.wfile.write(b"boom")
+                return
+            payload = json.dumps(out).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):  # silence request logging
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Stub)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        mapping = {
+            "kiln_speed": "TAG_A",
+            "kiln_rpm": "TAG_A",  # same physical tag -> deduped request
+            "feed_rate": {"equipment": "MILL_2", "tag": "TAG_B"},
+            "broken_sensor": "TAG_C",
+        }
+        out = sources.rest_timeseries_source(
+            spark, "KILN_1", mapping, start=100, end=200,
+            url=f"http://127.0.0.1:{port}/ts", base_delay=0.01,
+        ).collect()
+        rows = {(r.param, r.machine, r.tag, r.timestamp, r.value) for r in out}
+        assert rows == {
+            ("kiln_speed", "KILN_1", "TAG_A", 100, 1.5),
+            ("kiln_speed", "KILN_1", "TAG_A", 200, 2.5),
+            ("kiln_rpm", "KILN_1", "TAG_A", 100, 1.5),
+            ("kiln_rpm", "KILN_1", "TAG_A", 200, 2.5),
+            ("feed_rate", "MILL_2", "TAG_B", 100, 9.0),
+        }
+        # dedup: one request-chain per physical tag (A: 2x429 + 1 ok)
+        assert calls["TAG_A"] == 3
+        assert calls["TAG_B"] == 1
+        assert calls["TAG_C"] == 1  # non-429 errors are terminal, no retry
+    finally:
+        srv.shutdown()
