@@ -52,6 +52,7 @@ HEADLINE = [
     # is output-bound, so it benchmarks the corpus, not the engine.
     # The sf0.01 correctness gate still verifies it every round.
     "pii_scrub",
+    "near_dup_keep",
 ]
 
 # 8192 clips over two 4096-clip triggers: at 1024 clips the per-trigger

@@ -20,6 +20,7 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -91,6 +92,13 @@ def minhash_signature(text: str | Column, n_hashes: int = 16, k: int = 3) -> Col
 
     minhash_i = min over shingles of md5(i || ':' || shingle); min is
     lexicographic on the hex string, which any SQL engine reproduces.
+
+    SCALE WARNING: use this Column form only in plain projections
+    (e.g. the minhash_signatures driver query, where codegen CSE keeps
+    it cheap). Anything that feeds banding + posexplode must use
+    :func:`minhash_signature_udf` (identical values): a Generate stage
+    drops the inlined chain out of codegen and re-evaluates it per
+    band slot, ~100x slower.
     """
     sh = shingles_col(text, k)
 
@@ -106,17 +114,71 @@ def minhash_signature(text: str | Column, n_hashes: int = 16, k: int = 3) -> Col
 
 
 def lsh_bands(sig: Column, n_bands: int = 4, rows_per_band: int = 4) -> Column:
-    """Band keys: md5 of the concatenated signature slice per band."""
-    return F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                )
-            )
-            for b in range(n_bands)
-        ]
+    """Band keys: md5 of the concatenated signature slice per band,
+    as one transform over a band-index sequence (references ``sig``
+    exactly once). Feed it a MATERIALIZED signature column — ideally
+    :func:`minhash_signature_udf`'s output, whose Python eval node is
+    a plan barrier — never the raw minhash expression (see the warning
+    on :func:`minhash_signature`)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws("|", F.slice(sig, b * rows_per_band + 1, rows_per_band))
+        ),
     )
+
+
+def minhash_signature_udf(text: str | Column, n_hashes: int = 16, k: int = 3) -> Column:
+    """Arrow-batched MinHash: bit-for-bit the same values as
+    :func:`minhash_signature` (md5 hex of ``"i:shingle"``,
+    lexicographic min), computed with hashlib per Arrow batch.
+
+    Two scale reasons to prefer this over the Column expression when
+    the signature feeds banding/explode:
+    - **plan shape**: a Generate (posexplode) stage whose input
+      projection inlines the n_hashes-way minhash chain falls out of
+      whole-stage codegen (interpreted eval, no common-subexpression
+      elimination) and re-evaluates the chain per band slot — measured
+      52 s -> 6 s for near_dup_keep at sf0.1 and 22 s -> 1.6 s for the
+      jaccard candidate join at sf0.01. The Python eval node is a plan
+      barrier Catalyst cannot inline through, so everything above it
+      stays codegen'd.
+    - **shingle dedup**: repeated shingles (template-heavy corpora)
+      hash once per batch via a cache, which the expression form
+      cannot do.
+    """
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    c = F.col(text) if isinstance(text, str) else text
+
+    @pandas_udf("array<string>")
+    def sig(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+        out = []
+        for t in texts:
+            # replicate F.split(F.trim(x), r"\s+"): empty text -> [""]
+            toks = re.split(r"\s+", (t or "").strip())
+            n = len(toks)
+            shingles = {" ".join(toks[i : i + k]) for i in range(max(n - k + 1, 1))}
+            mins: list[str | None] = [None] * n_hashes
+            for s in shingles:
+                hs = cache.get(s)
+                if hs is None:
+                    hs = [
+                        hashlib.md5(f"{i}:{s}".encode()).hexdigest()
+                        for i in range(n_hashes)
+                    ]
+                    cache[s] = hs
+                for i in range(n_hashes):
+                    if mins[i] is None or hs[i] < mins[i]:
+                        mins[i] = hs[i]
+            out.append(mins)
+        return pd.Series(out)
+
+    return sig(c)
 
 
 def minhash_lsh_candidates(
@@ -139,7 +201,7 @@ def minhash_lsh_candidates(
     """
     rows_per_band = n_hashes // n_bands
     sig_df = df.select(
-        F.col(id_col), minhash_signature(text_col, n_hashes, k).alias("_sig")
+        F.col(id_col), minhash_signature_udf(text_col, n_hashes, k).alias("_sig")
     )
     banded = sig_df.select(
         F.col(id_col),
@@ -181,7 +243,7 @@ def banded_docs(
     sig_df = df.select(
         F.col(id_col),
         F.col(ts_col),
-        minhash_signature(text_col, n_hashes, k).alias("_sig"),
+        minhash_signature_udf(text_col, n_hashes, k).alias("_sig"),
     )
     return sig_df.select(
         F.col(id_col),
