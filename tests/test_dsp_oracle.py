@@ -94,9 +94,38 @@ def test_match_engine_equals_oracle(spark):
 
 def test_fixtures_equal_oracle_regeneration():
     """The committed fixtures must be exactly what the oracle generates
-    today — i.e. they are oracle output, not engine output."""
+    today — i.e. they are oracle output, not engine output.
+
+    Sign-bit sensitive: assert_frame_equal treats -0.0 == +0.0, but the
+    driver's value hash encodes the IEEE bit pattern (the r3 red row was
+    exactly this), so float columns are additionally compared bitwise.
+    """
     for name in gen.GENERATORS:
         new = gen.generate(name)
         old = pd.read_parquet(f"fixtures/{name}_expected.parquet")
         old = old.sort_values(list(old.columns)).reset_index(drop=True)
         pd.testing.assert_frame_equal(new, old[list(new.columns)], check_dtype=True)
+        for c in new.columns:
+            if new[c].dtype == np.float64:
+                a = new[c].fillna(0.0).to_numpy()
+                b = old[c].fillna(0.0).to_numpy()
+                assert np.array_equal(
+                    np.signbit(a), np.signbit(b)
+                ), f"{name}.{c}: sign-bit drift (-0.0 vs +0.0)"
+
+
+def test_no_fixture_contains_negative_zero():
+    """Spark ROUND (Java BigDecimal) never emits -0.0; any fixture float
+    that rounds to zero from below must be normalized to +0.0 by
+    round_half_up, else the driver's sign-bit-sensitive hash goes red."""
+    assert orc.round_half_up(-0.00002, 3) == 0.0
+    assert not np.signbit(orc.round_half_up(-0.00002, 3))
+    assert not np.signbit(orc.round_half_up(-0.0, 4))
+    assert orc.round_half_up(-0.0006, 3) == -0.001  # real negatives survive
+    for name in gen.GENERATORS:
+        pdf = pd.read_parquet(f"fixtures/{name}_expected.parquet")
+        for c in pdf.columns:
+            if pdf[c].dtype == np.float64:
+                vals = pdf[c].dropna().to_numpy()
+                bad = np.signbit(vals) & (vals == 0.0)
+                assert not bad.any(), f"{name}.{c}: fixture contains -0.0"

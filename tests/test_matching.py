@@ -205,3 +205,14 @@ def test_audio_fixtures_current(spark):
         live = live[cols].sort_values(cols).reset_index(drop=True)
         expected = expected.sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(live, expected, check_dtype=True), name
+        # assert_frame_equal treats -0.0 == +0.0; the driver's value hash
+        # does not (r3's red row) — compare float sign bits too.
+        import numpy as np
+
+        for c in cols:
+            if expected[c].dtype == np.float64:
+                a = live[c].fillna(0.0).to_numpy()
+                b = expected[c].fillna(0.0).to_numpy()
+                assert np.array_equal(
+                    np.signbit(a), np.signbit(b)
+                ), f"{name}.{c}: engine/fixture sign-bit drift"

@@ -54,7 +54,11 @@ def round_half_up(x: float, digits: int) -> float:
     """Spark's ROUND(col, n): HALF_UP on the shortest decimal repr of
     the double (BigDecimal.valueOf semantics)."""
     q = Decimal(1).scaleb(-digits)
-    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+    # `+ 0.0` normalizes IEEE -0.0 -> +0.0: Java BigDecimal (Spark ROUND)
+    # has no negative zero, while Python Decimal preserves the sign bit on
+    # values like -0.00002 rounded to 3 dp. The driver's value hash is
+    # sign-bit sensitive, so the oracle must match Spark here.
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP)) + 0.0
 
 
 # ------------------------------------------------------------- decode
