@@ -21,6 +21,52 @@ import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# A pinned 8-proc burn at <= this multiple of the 1-proc time marks a
+# clean hypervisor window (measured: ~1.2x when idle, >> 2x throttled).
+CLEAN_PROBE_RATIO = 1.6
+
+
+def _fft_burn(n_iter: int = 1000) -> None:
+    # ~1 s at 1 proc on this VM: long enough that the ~0.1 s
+    # process-spawn cost doesn't distort the 8-proc ratio
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(1 << 16)
+    for _ in range(n_iter):
+        np.fft.rfft(x)
+
+
+def ambient_probe() -> dict:
+    """Spark-free hypervisor-steal probe, run immediately before each
+    leg: identical FFT work at 1 proc and 8 procs. On dedicated
+    hardware the 8-proc wall time ~= the 1-proc time; in this VM's
+    throttled windows wide parallelism runs many times slower (see
+    BENCH/BASELINE.md). Recording it in the leg JSON lets the merge
+    step identify degraded-window pairs mechanically instead of
+    narratively."""
+    import multiprocessing as mp
+    import time
+
+    _fft_burn(100)  # numpy/page-cache warmup, untimed
+    t0 = time.perf_counter()
+    _fft_burn()
+    t1 = time.perf_counter()
+    procs = [mp.Process(target=_fft_burn) for _ in range(8)]
+    t2 = time.perf_counter()
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    t3 = time.perf_counter()
+    one, eight = t1 - t0, t3 - t2
+    return {
+        "probe_1p_s": round(one, 3),
+        "probe_8p_s": round(eight, 3),
+        "probe_ratio": round(eight / one, 2),
+        "clean_window": eight / one <= CLEAN_PROBE_RATIO,
+    }
+
 
 def zip_engine(out_path: str) -> None:
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
@@ -85,11 +131,15 @@ def main() -> None:
     if args.leg in ("n", "4n", "both"):
         zip_engine(zip_path)
     if args.leg in ("n", "both"):
+        probe = ambient_probe()
         r_n = spark_submit(args.n, args.clips, zip_path)
+        r_n["ambient_probe"] = probe
         with open(leg_n_path, "w") as f:
             json.dump(r_n, f)
     if args.leg in ("4n", "both"):
+        probe = ambient_probe()
         r_4n = spark_submit(args.n * 4, args.clips, zip_path)
+        r_4n["ambient_probe"] = probe
         with open(leg_4n_path, "w") as f:
             json.dump(r_4n, f)
     if args.leg in ("n", "4n"):
@@ -116,6 +166,13 @@ def main() -> None:
             )
             if r_n.get("steady_clips_per_sec") and r_4n.get("steady_clips_per_sec")
             else None
+        ),
+        "probe_n": r_n.get("ambient_probe"),
+        "probe_4n": r_4n.get("ambient_probe"),
+        # pair is clean iff BOTH legs ran in a clean hypervisor window
+        "clean_pair": bool(
+            r_n.get("ambient_probe", {}).get("clean_window")
+            and r_4n.get("ambient_probe", {}).get("clean_window")
         ),
     }
     print(json.dumps(result))

@@ -154,13 +154,23 @@ def minhash_signature_udf(text: str | Column, n_hashes: int = 16, k: int = 3) ->
 
     c = F.col(text) if isinstance(text, str) else text
 
+    # Java \s is ASCII-only ([ \t\n\x0B\f\r]); Python \s is Unicode (it
+    # also eats NBSP etc). Spark trim() strips ' ' only; Python strip()
+    # strips all whitespace. Both must be replicated exactly or the UDF
+    # diverges from the Column form on tab/newline-edged or NBSP text
+    # (verified divergence before this pin — see the property test).
+    _java_ws = re.compile("[ \t\n\x0b\f\r]+")
+
     @pandas_udf("array<string>")
     def sig(texts: pd.Series) -> pd.Series:
         cache: dict[str, list[str]] = {}
         out = []
         for t in texts:
-            # replicate F.split(F.trim(x), r"\s+"): empty text -> [""]
-            toks = re.split(r"\s+", (t or "").strip())
+            # replicate F.split(F.trim(x), r"\s+") exactly:
+            # NULL -> same as '' (trim/split/slice null-chain collapses
+            # to the single empty shingle), trim strips spaces only,
+            # split keeps leading/trailing empty tokens (limit -1)
+            toks = _java_ws.split(("" if t is None else t).strip(" "))
             n = len(toks)
             shingles = {" ".join(toks[i : i + k]) for i in range(max(n - k + 1, 1))}
             mins: list[str | None] = [None] * n_hashes
@@ -300,13 +310,23 @@ def near_dup_band_verdicts_stream(
     band's first-ever released row. ``ts_col`` is epoch millis.
 
     All bands of a doc release at the SAME trigger (the release
-    condition, ts <= watermark, is identical for every band, and an
-    EventTimeTimeout armed at the earliest buffered row fires bands
-    that got no new input), so collapsing verdicts to per-doc survival
-    is a plain per-micro-batch groupBy — see collapse_band_verdicts,
-    applied inside foreachBatch. State per band = one bool + the
-    sub-watermark buffer; the watermark bounds both, exactly like
-    exact_dedup_stream's horizon.
+    condition, ts STRICTLY < watermark, is identical for every band
+    and matches EventTimeTimeout's strict firing condition, so bands
+    released by fresh input and bands released by timeout agree on the
+    batch), so collapsing verdicts to per-doc survival is a plain
+    per-micro-batch groupBy — see collapse_band_verdicts, applied
+    inside foreachBatch.
+
+    State per band key = the sub-watermark (ts, id) buffer — bounded by
+    the watermark like exact_dedup_stream's horizon — PLUS one
+    ``has_first`` bool that is retained for every band value ever seen:
+    first-ever semantics inherently require remembering which bands
+    have been claimed, so band-key cardinality grows with the distinct
+    bands of the corpus (unlike dropDuplicatesWithinWatermark, which
+    evicts). At the 100 TB design point cap this by running the
+    suppressor per time-partition (e.g. daily corpora) or periodically
+    compacting claimed bands to a broadcast bloom/side table; within a
+    single run the per-key cost is one bool.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -329,8 +349,16 @@ def near_dup_band_verdicts_stream(
             buf.extend((int(t), str(d)) for t, d in zip(pdf[ts_col], pdf[id_col]))
         buf.sort()
         wm = state.getCurrentWatermarkMs()
-        ready = [(t, d) for t, d in buf if t <= wm]
-        buf = [(t, d) for t, d in buf if t > wm]
+        # STRICT t < wm so input-driven release and EventTimeTimeout
+        # release (which fires only when wm strictly exceeds the armed
+        # ts) agree on the same micro-batch: if the watermark lands
+        # exactly on a doc's event time and only some of its bands get
+        # fresh input, a <= condition would release those bands' verdicts
+        # one batch before the timeout-only bands — collapse_band_verdicts
+        # needs all n_bands verdicts in ONE batch, so the doc would be
+        # silently dropped. Same contract as rate_limit_stream.
+        ready = [(t, d) for t, d in buf if t < wm]
+        buf = [(t, d) for t, d in buf if t >= wm]
         out = []
         for t, d in ready:
             out.append((d, t, band_idx, not has_first))

@@ -87,16 +87,20 @@ def byte_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
 def decode_media(raw: bytes, codec: str, deterministic_fake: bool = False) -> np.ndarray:
     """Decode a media blob to a numpy array.
 
-    Audio codecs decode for real (sparkfp.codec). Image/video codecs
-    raise UnsupportedCodec unless ``deterministic_fake=True``, which
-    returns a seeded fake frame so downstream plumbing (resize,
-    feature UDF shapes, batch partitioning) is testable without
-    decoder libraries. STUB: swap in Pillow/ffmpeg on a real cluster.
+    Audio codecs (pcm/ulaw) and uncompressed image codecs (bmp/ppm)
+    decode for REAL — pure numpy, no external libraries. Compressed
+    image/video codecs (jpeg/png/h264) raise UnsupportedCodec unless
+    ``deterministic_fake=True``, which returns a seeded fake frame so
+    downstream plumbing (resize, feature UDF shapes, batch
+    partitioning) is testable without decoder libraries. STUB: swap in
+    Pillow/ffmpeg for those on a real cluster.
     """
-    if codec in _DECODABLE:
-        from . import codec as _codec
+    from . import codec as _codec
 
+    if codec in _DECODABLE:
         return _codec.decode(raw, codec)
+    if codec in _codec.IMAGE_CODECS:
+        return _codec.decode_image(raw, codec)
     if deterministic_fake:
         h = np.frombuffer(raw[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
         # key dtype explicit: list-of-mixed-ints promotes to float64 and

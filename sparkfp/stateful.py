@@ -172,7 +172,12 @@ def rate_limit_per_key(
     import numpy as np
     import pandas as pd  # noqa: F401
 
-    order = list(order_cols) if order_cols else [ts_col]
+    # ts_col always leads the sort: the searchsorted chain below is only
+    # correct on a non-decreasing ts array, so order_cols are tiebreaks
+    # after ts, never a reordering of it (a caller-supplied order not
+    # led by ts would silently produce a wrong emit set).
+    extra = [c for c in (order_cols or []) if c != ts_col]
+    order = [ts_col, *extra]
     schema = df.schema
 
     def limit(pdf):
@@ -180,6 +185,7 @@ def rate_limit_per_key(
         ts = (
             pdf[ts_col].astype("datetime64[ns]").astype(np.int64) // 10**9
         ).to_numpy()
+        assert len(ts) == 0 or (np.diff(ts) >= 0).all(), "ts must lead the sort"
         # nxt[i] = first row index emittable after an emission at row i
         nxt = np.searchsorted(ts, ts + min_interval_s, side="left")
         keep_idx = []
@@ -234,7 +240,14 @@ def rate_limit_stream(
             buf.extend(int(t) for t in pdf[ts_col])
         buf.sort()
         wm = state.getCurrentWatermarkMs()
-        cut = bisect.bisect_right(buf, wm)
+        # STRICT t < wm, matching EventTimeTimeout's firing condition
+        # (timeout fires only when the watermark strictly exceeds the
+        # armed timestamp). With t <= wm here, a watermark landing
+        # exactly on an event time would release it in input-driven
+        # groups but not timeout-only groups — one batch of skew between
+        # the two release paths (and silent doc drops in the near-dup
+        # collapse, which needs all bands in ONE batch).
+        cut = bisect.bisect_left(buf, wm)
         ready, buf = buf[:cut], buf[cut:]
         out = []
         for ts in ready:

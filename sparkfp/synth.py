@@ -280,3 +280,17 @@ def tracks(spark: SparkSession, n_tracks: int = 8, seed: int = 42) -> DataFrame:
             )
 
     return ids.mapInPandas(gen, schema.CLIP).withColumnRenamed("clip_id", "track_id")
+
+
+def image_pixels(image_id: str, h: int = 24, w: int = 17, seed: int = 42) -> np.ndarray:
+    """Deterministic HxWx3 uint8 RGB test image, keyed like every other
+    synth row (Philox on (seed, fnv(image_id))). Default width 17 is
+    deliberately not a multiple of 4 so BMP row padding is exercised."""
+    return _id_rng(seed, image_id).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def image_bytes(image_id: str, image_codec: str = "bmp", **kw) -> bytes:
+    """Encoded deterministic test image (input construction, shared by
+    the entry query and the fixture generator — the oracle decodes it
+    with its own independent scalar parser)."""
+    return codec.encode_image(image_pixels(image_id, **kw), image_codec)

@@ -41,3 +41,85 @@ def test_decode_is_deterministic():
     a = codec.decode(raw, "ulaw")
     b = codec.decode(raw, "ulaw")
     assert np.array_equal(a, b)
+
+
+# ------------------------------------------------------- image codecs
+
+
+def _img(h, w, seed=3):
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("w", [1, 2, 3, 4, 5, 17, 64])
+def test_bmp_roundtrip_exact_all_paddings(w):
+    """24-bit BMP row stride pads to 4 bytes: every width mod 4 case
+    must round-trip bit-exact."""
+    img = _img(9, w)
+    out = codec.decode_image(codec.encode_image(img, "bmp"), "bmp")
+    assert out.dtype == np.uint8 and np.array_equal(out, img)
+
+
+def test_bmp_top_down_and_32bpp_decode():
+    """Decoder handles negative-height (top-down) and 32bpp BGRA BMPs
+    that other writers emit, not just our encoder's output."""
+    import struct
+
+    img = _img(5, 3)
+    h, w = img.shape[:2]
+    off = 14 + 40
+    # hand-build: top-down 32bpp BGRA
+    px = np.zeros((h, w, 4), dtype=np.uint8)
+    px[:, :, :3] = img[:, :, ::-1]
+    px[:, :, 3] = 255
+    raw = (
+        struct.pack("<2sIHHI", b"BM", off + px.nbytes, 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 32, 0, px.nbytes, 0, 0, 0, 0)
+        + px.tobytes()
+    )
+    assert np.array_equal(codec.decode_image(raw, "bmp"), img)
+
+
+def test_ppm_roundtrip_and_comments():
+    img = _img(7, 5)
+    assert np.array_equal(codec.decode_image(codec.encode_image(img, "ppm"), "ppm"), img)
+    # foreign writer: comments + multi-line header
+    raw = b"P6\n# made elsewhere\n5\n# again\n7\n255\n" + img.tobytes()
+    assert np.array_equal(codec.decode_image(raw, "ppm"), img)
+
+
+def test_image_codec_errors():
+    with pytest.raises(codec.UnsupportedCodec):
+        codec.decode_image(b"BM" + b"\0" * 60, "gif")
+    with pytest.raises(ValueError):
+        codec.decode_image(b"not a bmp at all, padded long enough" * 3, "bmp")
+    img = _img(4, 4)
+    truncated = codec.encode_image(img, "bmp")[:-8]
+    with pytest.raises(ValueError):
+        codec.decode_image(truncated, "bmp")
+
+
+def test_bmp_engine_decode_equals_oracle_scalar_parse():
+    """Engine strided-numpy BMP decode == the fixture oracle's
+    independent per-pixel struct parser (both orientations)."""
+    import struct
+
+    import tools.dsp_oracle as orc
+
+    img = _img(6, 7)
+    raw = codec.encode_image(img, "bmp")
+    eng = codec.decode_image(raw, "bmp").astype(np.float64).ravel()
+    assert np.array_equal(eng, np.array(orc.decode_bmp_pixels(raw)))
+    # top-down variant
+    h, w = img.shape[:2]
+    stride = (3 * w + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = img[:, :, ::-1].reshape(h, 3 * w)
+    off = 54
+    raw_td = (
+        struct.pack("<2sIHHI", b"BM", off + rows.nbytes, 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, rows.nbytes, 0, 0, 0, 0)
+        + rows.tobytes()
+    )
+    eng_td = codec.decode_image(raw_td, "bmp").astype(np.float64).ravel()
+    assert np.array_equal(eng_td, np.array(orc.decode_bmp_pixels(raw_td)))

@@ -55,6 +55,47 @@ def test_minhash_matches_python_md5(spark, docs):
         assert got == exp
 
 
+def test_minhash_udf_equals_column_on_whitespace_edges(spark):
+    """minhash_signature_udf claims bit-for-bit parity with the Column
+    form. The hard cases are exactly where Python and Java string
+    semantics split: Spark trim strips ' ' only (Python strip() eats
+    tabs/newlines), Java \\s is ASCII (Python \\s matches NBSP and other
+    Unicode spaces), and split(limit=-1) keeps edge empty tokens. NULL
+    text must collapse to the empty-shingle signature like the Column
+    null-chain does. Each case here diverged (or guards a case that
+    did) before the UDF was pinned to Java semantics."""
+    edge = [
+        None,
+        "",
+        " ",
+        "\t",
+        "\ta b\t",          # tab-edged: trim must keep the tabs
+        " a\tb ",           # space-edged: trim strips, interior tab splits
+        "a b",          # NBSP: Java \s does NOT split, Python \s does
+        "a b",          # em-space: same class of divergence
+        "x\r\ny",           # CRLF run collapses to one separator
+        "a\x0bb\x0cc",      # vertical tab / form feed are Java \s
+        "\n\nleading",      # newline-edged
+        "trailing\f\f",
+        "  double  spaced  ",
+        "solo",
+        "a b c d e f",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(edge)], "doc_id int, text string"
+    )
+    col = df.select(
+        "doc_id", dedup.minhash_signature("text", n_hashes=8, k=3).alias("sig")
+    ).toPandas()
+    udf = df.select(
+        "doc_id", dedup.minhash_signature_udf("text", n_hashes=8, k=3).alias("sig")
+    ).toPandas()
+    for i in range(len(edge)):
+        c = list(col[col.doc_id == i].sig.iloc[0])
+        u = list(udf[udf.doc_id == i].sig.iloc[0])
+        assert c == u, f"doc {i} ({edge[i]!r}): Column vs UDF signature diverged"
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     df, pdf = docs
     cand = dedup.minhash_lsh_candidates(df, "doc_id", "text", n_hashes=16, n_bands=8)
@@ -363,6 +404,29 @@ def test_byte_features_and_frame_stub(spark):
         media, deterministic_fake=False
     ).toPandas().set_index("media_id")
     assert not ff2.loc["m1", "decoded"]  # stub clearly reports undecodable
+
+
+def test_frame_features_real_bmp_decode(spark):
+    """BMP rows decode for REAL (no deterministic fake): the frame
+    features must equal numpy stats of the known seeded pixel arrays."""
+    from sparkfp import synth
+
+    ids = [f"bmp_{i:02d}" for i in range(3)]
+    rows = [
+        (i, synth.image_bytes(i, "bmp"), "image", "bmp", 17, 24, None) for i in ids
+    ] + [("j0", b"\xff\xd8 not decodable here", "image", "jpeg", None, None, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA)
+    ff = (
+        multimodal.frame_sample_features(media, deterministic_fake=False)
+        .toPandas()
+        .set_index("media_id")
+    )
+    for i in ids:
+        px = synth.image_pixels(i).astype(np.float64)
+        assert ff.loc[i, "decoded"]
+        assert ff.loc[i, "frame_mean"] == pytest.approx(px.mean(), abs=1e-12)
+        assert ff.loc[i, "frame_std"] == pytest.approx(px.std(), abs=1e-12)
+    assert not ff.loc["j0", "decoded"]  # compressed codecs stay gated
 
 
 # ------------------------------------------------------------------ analytics

@@ -253,15 +253,46 @@ def byte_features(raw: bytes) -> tuple[int, float, float, float]:
     return n, mean, entropy, counts.get(0, 0) / n
 
 
+def decode_bmp_pixels(raw: bytes) -> list[float]:
+    """Independent scalar BMP parse (24-bit BI_RGB, bottom-up or
+    top-down): struct reads + per-pixel loops, nothing shared with the
+    engine's strided-numpy decoder. Returns the RGB channel values in
+    row-major top-down order as floats."""
+    if raw[:2] != b"BM":
+        raise ValueError("not BMP")
+    off = struct.unpack_from("<I", raw, 10)[0]
+    w = struct.unpack_from("<i", raw, 18)[0]
+    h_signed = struct.unpack_from("<i", raw, 22)[0]
+    bpp = struct.unpack_from("<H", raw, 28)[0]
+    comp = struct.unpack_from("<I", raw, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"oracle handles 24bpp BI_RGB only, got {bpp}/{comp}")
+    h = abs(h_signed)
+    stride = ((3 * w + 3) // 4) * 4
+    vals: list[float] = []
+    for row in range(h):
+        # stored bottom-up unless height is negative
+        src_row = row if h_signed < 0 else h - 1 - row
+        base = off + src_row * stride
+        for x in range(w):
+            b, g, r = raw[base + 3 * x : base + 3 * x + 3]
+            vals.extend((float(r), float(g), float(b)))
+    return vals
+
+
 def frame_features(
     raw: bytes, codec_name: str
 ) -> tuple[float, float, bool]:
     """(frame_mean, frame_std, decoded). Audio decodes via the oracle
-    decoder; image/video follow the documented deterministic-fake spec
-    (Philox keyed on the first 8 payload bytes, 16x16x3 uint8) — the
-    fake's *spec* is shared, its surrounding code is not."""
+    decoder; bmp via the oracle's scalar parser (a REAL image decode —
+    the engine's numpy BMP decoder is verified against it); jpeg/png/
+    h264 follow the documented deterministic-fake spec (Philox keyed on
+    the first 8 payload bytes, 16x16x3 uint8) — the fake's *spec* is
+    shared, its surrounding code is not."""
     if codec_name in ("pcm_s16le", "ulaw"):
         vals = decode(raw, codec_name)
+    elif codec_name == "bmp":
+        vals = decode_bmp_pixels(raw)
     elif codec_name in ("jpeg", "png", "h264"):
         key = int.from_bytes(raw[:8].ljust(8, b"\0"), "little")
         # explicit uint64 dtype: a plain [int, 0] list detours through

@@ -43,6 +43,7 @@ N_LANDMARK_CLIPS = 16
 N_BYTE_CLIPS = 16
 N_FRAME_CLIPS = 8
 N_FRAME_IMAGES = 4
+N_FRAME_BMPS = 4
 
 
 def _clip(i: int, track_ids: list[str]) -> tuple:
@@ -105,6 +106,13 @@ def frame_feature_inputs(track_ids: list[str]) -> list[tuple[str, bytes, str]]:
     items += [
         (f"img_{i:02d}", hashlib.md5(b"img%d" % i).digest() * 64, "jpeg")
         for i in range(N_FRAME_IMAGES)
+    ]
+    # real BMP rows: bytes come from the shared synth generator (input
+    # construction), but the oracle decodes them with its own scalar
+    # parser — a genuine engine-vs-oracle image decode comparison
+    items += [
+        (f"bmp_{i:02d}", synth.image_bytes(f"bmp_{i:02d}"), "bmp")
+        for i in range(N_FRAME_BMPS)
     ]
     return items
 
