@@ -22,8 +22,16 @@ import zipfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # A pinned 8-proc burn at <= this multiple of the 1-proc time marks a
-# clean hypervisor window (measured: ~1.2x when idle, >> 2x throttled).
+# wide-parallelism-clean window (measured: ~1.2x when idle, >> 2x
+# throttled). The ratio alone is not sufficient: the hypervisor also
+# has uniformly-slow windows where even the 1-proc burn runs ~1.5-1.8x
+# its nominal time and wide Spark legs degrade disproportionately
+# (measured r4 pair 1: probe ratio 1.02 yet pair efficiency 0.50, with
+# probe_1p_s 1.41 vs the 0.90-0.99 nominal). So clean also requires
+# the absolute 1-proc time near nominal.
 CLEAN_PROBE_RATIO = 1.6
+NOMINAL_1P_S = 0.95  # calibrated idle-window 1-proc burn on this VM
+CLEAN_1P_SLOWDOWN = 1.25
 
 
 def _fft_burn(n_iter: int = 1000) -> None:
@@ -64,7 +72,11 @@ def ambient_probe() -> dict:
         "probe_1p_s": round(one, 3),
         "probe_8p_s": round(eight, 3),
         "probe_ratio": round(eight / one, 2),
-        "clean_window": eight / one <= CLEAN_PROBE_RATIO,
+        "slowdown_1p": round(one / NOMINAL_1P_S, 2),
+        "clean_window": (
+            eight / one <= CLEAN_PROBE_RATIO
+            and one <= CLEAN_1P_SLOWDOWN * NOMINAL_1P_S
+        ),
     }
 
 
