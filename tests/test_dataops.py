@@ -674,3 +674,59 @@ def test_redact_pii_counts_equal_placeholders_and_dates_survive(spark):
     # +international run and separated 3-4 local both redact
     assert out[3].n_phone == 2
     assert out[3].redacted == "intl [PHONE] 58 and local [PHONE]"
+
+
+# ------------------------------------------------------------------ sampling
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    """Membership is a pure function of (id, seed): same rows at any
+    partition layout (df.sample() breaks on repartition), and the
+    priority matches an independent python md5 computation."""
+    import hashlib
+
+    from sparkfp import sampling
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in sampling.hash_sample(df, "doc_id", 0.2, seed=9).collect()}
+    b = {
+        r.doc_id
+        for r in sampling.hash_sample(
+            df.repartition(13), "doc_id", 0.2, seed=9
+        ).collect()
+    }
+    assert a == b
+    # independent oracle: first 15 md5 hex chars as int
+    exp = {
+        i
+        for i in range(2000)
+        if int(hashlib.md5(f"9:{i}".encode()).hexdigest()[:15], 16)
+        < int(0.2 * 16**15)
+    }
+    assert a == exp
+    assert 0.15 < len(a) / 2000 < 0.25  # binomial around 0.2
+    # different seed -> different subset
+    c = {r.doc_id for r in sampling.hash_sample(df, "doc_id", 0.2, seed=10).collect()}
+    assert c != a and 0.15 < len(c) / 2000 < 0.25
+
+
+def test_reservoir_per_key_exact_k_uniform(spark):
+    """Exactly min(k, |stratum|) per key; selection equals the k
+    smallest independent-md5 priorities; stable across repartition."""
+    import hashlib
+
+    from sparkfp import sampling
+
+    rows = [(f"d{i:04d}", "big" if i < 300 else "small") for i in range(320)]
+    df = spark.createDataFrame(rows, "doc_id string, grp string")
+    out = sampling.reservoir_per_key(df.repartition(7), ["grp"], "doc_id", 8, seed=3)
+    pdf = out.toPandas()
+    sizes = pdf.groupby("grp").size().to_dict()
+    assert sizes == {"big": 8, "small": 8}
+    for grp, ids in (("big", range(300)), ("small", range(300, 320))):
+        prio = sorted(
+            (int(hashlib.md5(f"3:d{i:04d}".encode()).hexdigest()[:15], 16), f"d{i:04d}")
+            for i in ids
+        )
+        exp = {d for _, d in prio[:8]}
+        assert set(pdf[pdf.grp == grp].doc_id) == exp, grp
