@@ -131,6 +131,14 @@ def main() -> None:
             "(hypervisor ceiling, see BENCH/BASELINE.md; override with "
             "SPARKFP_MAX_LOCAL_CORES)\n"
         )
+    # Spark-free ambient probe BEFORE the session: this VM's hypervisor
+    # throttle varies by the hour (measured 1-proc burn 0.9-1.7 s for
+    # identical work), so cross-round BENCH comparisons need the window
+    # quality recorded next to the numbers (see bench/run_scaling.py).
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench"))
+    from run_scaling import ambient_probe
+
+    probe = ambient_probe()
     spark = get_spark("sparkfp-bench", cores=cores)
     queries = entrymod.queries()
     # untimed warmup: the first query otherwise pays ~5 s of one-time
@@ -160,6 +168,7 @@ def main() -> None:
                 "sf": SF_DIR,
                 "clips_per_sec": round(clips_per_sec, 2),
                 "n_bench_clips": N_BENCH_CLIPS,
+                "ambient_probe": probe,
             }
         )
     )

@@ -348,3 +348,43 @@ def test_near_dup_suppress_stream_equals_batch_equals_oracle(spark, tmp_path):
         r.doc_id for r in sink.read(spark).collect() if r.doc_id != "zz_flush"
     }
     assert got_stream == expect
+
+
+def test_hash_sample_stream_equals_batch(spark, tmp_path):
+    """hash_sample is a stateless pure filter, so it applies unchanged
+    to a stream and selects exactly the batch-selected rows regardless
+    of micro-batch boundaries — the property that makes deterministic
+    downsampling safe inside an ingest pipeline."""
+    import pandas as pd
+
+    from sparkfp import sampling
+    from sparkfp.sink import ExactlyOnceParquetSink
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(400), "ts_ms": [1_700_000_000_000 + i for i in range(400)]}
+    )
+    df = spark.createDataFrame(pdf)
+    batch_ids = {
+        r.doc_id for r in sampling.hash_sample(df, "doc_id", 0.25, seed=11).collect()
+    }
+    src, sink_dir, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    )
+    streaming.write_stream_source(df, src, n_files=4, order_col="ts_ms")
+    stream = (
+        spark.readStream.schema("doc_id long, ts_ms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sampled = sampling.hash_sample(stream, "doc_id", 0.25, seed=11)
+    sink = ExactlyOnceParquetSink(sink_dir)
+    q = (
+        sampled.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = sink.read(spark).toPandas()
+    assert set(got.doc_id) == batch_ids and len(got) == len(batch_ids)
