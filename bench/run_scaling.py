@@ -57,22 +57,37 @@ def ambient_probe() -> dict:
     import time
 
     _fft_burn(100)  # numpy/page-cache warmup, untimed
-    t0 = time.perf_counter()
-    _fft_burn()
-    t1 = time.perf_counter()
-    procs = [mp.Process(target=_fft_burn) for _ in range(8)]
-    t2 = time.perf_counter()
-    for p in procs:
-        p.start()
-    for p in procs:
-        p.join()
-    t3 = time.perf_counter()
-    one, eight = t1 - t0, t3 - t2
+    # min-of-3: a single 1p burn is noisy (core placement / frequency
+    # scaling swung one-shot readings 0.9-1.6 s while Spark legs in the
+    # same minutes were demonstrably healthy — r4 pair 7). The MINIMUM
+    # is the right statistic for a speed-limit probe.
+    one = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _fft_burn()
+        one = min(one, time.perf_counter() - t0)
+    eights = []
+    for _ in range(2):
+        procs = [mp.Process(target=_fft_burn) for _ in range(8)]
+        t2 = time.perf_counter()
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join()
+        eights.append(time.perf_counter() - t2)
+    eight = min(eights)
     return {
         "probe_1p_s": round(one, 3),
         "probe_8p_s": round(eight, 3),
         "probe_ratio": round(eight / one, 2),
+        "probe_8p_spread": round(max(eights) / eight, 2),
         "slowdown_1p": round(one / NOMINAL_1P_S, 2),
+        # A heuristic CORRELATE of window quality, not a classifier:
+        # efficiency is a ratio, so uniformly slow windows can still
+        # yield valid pairs (r4 p7: slowdown ~1.5, efficiency 0.935),
+        # while a wide-throttle can bite a sustained Spark leg that a
+        # short probe missed (r4 p1: ratio 1.02, efficiency 0.50).
+        # BENCH/BASELINE.md reports the full distribution either way.
         "clean_window": (
             eight / one <= CLEAN_PROBE_RATIO
             and one <= CLEAN_1P_SLOWDOWN * NOMINAL_1P_S
