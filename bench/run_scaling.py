@@ -146,18 +146,25 @@ def main() -> None:
     ap.add_argument("--clips", type=int, default=3072)
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument(
-        "--leg", choices=["n", "4n", "both", "merge"], default="both",
-        help="run one leg (result cached to bench/leg_*.json), or merge cached legs",
+        "--leg", choices=["n", "4n", "n2", "both", "merge"], default="both",
+        help="run one leg (result cached to bench/leg_*.json), or merge cached legs; "
+        "n2 = a SECOND narrow leg run after 4n (N -> 4N -> N sandwich): the two "
+        "narrow legs' agreement is the drift detector for the window, measured "
+        "by the same instrument as the pair itself",
     )
     args = ap.parse_args()
 
     zip_path = os.path.join(REPO, "bench", "sparkfp.zip")
     leg_n_path = os.path.join(REPO, "bench", "leg_n.json")
     leg_4n_path = os.path.join(REPO, "bench", "leg_4n.json")
+    leg_n2_path = os.path.join(REPO, "bench", "leg_n2.json")
 
-    if args.leg in ("n", "4n", "both"):
+    if args.leg in ("n", "4n", "n2", "both"):
         zip_engine(zip_path)
     if args.leg in ("n", "both"):
+        # a fresh pair run invalidates any stale second narrow leg
+        if os.path.exists(leg_n2_path):
+            os.remove(leg_n2_path)
         probe = ambient_probe()
         r_n = spark_submit(args.n, args.clips, zip_path)
         r_n["ambient_probe"] = probe
@@ -169,29 +176,55 @@ def main() -> None:
         r_4n["ambient_probe"] = probe
         with open(leg_4n_path, "w") as f:
             json.dump(r_4n, f)
-    if args.leg in ("n", "4n"):
+    if args.leg == "n2":
+        probe = ambient_probe()
+        r_n2 = spark_submit(args.n, args.clips, zip_path)
+        r_n2["ambient_probe"] = probe
+        with open(leg_n2_path, "w") as f:
+            json.dump(r_n2, f)
+    if args.leg in ("n", "4n", "n2"):
         return
     with open(leg_n_path) as f:
         r_n = json.load(f)
     with open(leg_4n_path) as f:
         r_4n = json.load(f)
-    eff = r_4n["clips_per_sec"] / (4 * r_n["clips_per_sec"])
-    speedup = r_4n["clips_per_sec"] / r_n["clips_per_sec"]
+    r_n2 = None
+    if os.path.exists(leg_n2_path):
+        with open(leg_n2_path) as f:
+            r_n2 = json.load(f)
+    if r_n2 is not None:
+        # N -> 4N -> N sandwich: efficiency against the MEAN of the two
+        # narrow legs; their relative disagreement is the window-drift
+        # metric (the probes sample instants — this samples the legs).
+        n_mean = (r_n["clips_per_sec"] + r_n2["clips_per_sec"]) / 2
+        drift = abs(r_n["clips_per_sec"] - r_n2["clips_per_sec"]) / n_mean
+        sn_a, sn_b = (
+            r_n.get("steady_clips_per_sec"), r_n2.get("steady_clips_per_sec")
+        )
+        steady_n_mean = (sn_a + sn_b) / 2 if sn_a and sn_b else None
+    else:
+        n_mean, drift, steady_n_mean = (
+            r_n["clips_per_sec"], None, r_n.get("steady_clips_per_sec")
+        )
+    eff = r_4n["clips_per_sec"] / (4 * n_mean)
+    speedup = r_4n["clips_per_sec"] / n_mean
     result = {
         "n_cores": args.n,
         "4n_cores": args.n * 4,
         "clips": args.clips,
-        "throughput_n": r_n["clips_per_sec"],
+        "throughput_n": round(n_mean, 3),
+        "throughput_n_legs": (
+            [r_n["clips_per_sec"], r_n2["clips_per_sec"]] if r_n2 else None
+        ),
+        "narrow_leg_drift": round(drift, 3) if drift is not None else None,
         "throughput_4n": r_4n["clips_per_sec"],
-        "steady_n": r_n.get("steady_clips_per_sec"),
+        "steady_n": steady_n_mean,
         "steady_4n": r_4n.get("steady_clips_per_sec"),
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
         "steady_efficiency": (
-            round(
-                r_4n["steady_clips_per_sec"] / (4 * r_n["steady_clips_per_sec"]), 3
-            )
-            if r_n.get("steady_clips_per_sec") and r_4n.get("steady_clips_per_sec")
+            round(r_4n["steady_clips_per_sec"] / (4 * steady_n_mean), 3)
+            if steady_n_mean and r_4n.get("steady_clips_per_sec")
             else None
         ),
         "probe_n": r_n.get("ambient_probe"),

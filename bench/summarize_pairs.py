@@ -101,6 +101,35 @@ def main() -> None:
         )
     else:
         lines.append("clean subset: none")
+
+    # Session capability estimate: the hypervisor throttle is strictly
+    # SUBTRACTIVE (it can only remove cycles), so the maximum observed
+    # throughput per allocation across the session's legs is the
+    # least-biased estimate of the engine's true capability at that
+    # allocation — immune to the probe-timing problem (probes sample
+    # instants; this samples every leg). Using the max in BOTH
+    # numerator and denominator is conservative for efficiency.
+    by_cores: dict[int, list[tuple[float, float | None, str]]] = {}
+    for label, legs in pairs.items():
+        for part, leg in legs.items():
+            by_cores.setdefault(leg["cores"], []).append(
+                (leg["clips_per_sec"], leg.get("steady_clips_per_sec"), label)
+            )
+    for small, big in ((2, 8), (1, 4)):
+        if small in by_cores and big in by_cores:
+            bn = max(by_cores[small])
+            b4 = max(by_cores[big])
+            e = b4[0] / (4 * bn[0])
+            s = (
+                f", steady {b4[1] / (4 * bn[1]):.3f}"
+                if bn[1] and b4[1]
+                else ""
+            )
+            lines.append(
+                f"capability estimate {small}->{big} cores: best {small}c "
+                f"{bn[0]:.0f} clips/s ({bn[2]}), best {big}c {b4[0]:.0f} "
+                f"({b4[2]}) -> efficiency {e:.3f} e2e{s}"
+            )
     out = "\n".join(lines)
     print(out)
     if write:
