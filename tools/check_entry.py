@@ -66,10 +66,18 @@ def main(only: list[str]) -> int:
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # loud count so a silent driver-side truncation (round 4: 51
+    # registered, 50 recorded, last row dropped) is visible locally
+    print(
+        f"[check_entry] {len(qs)} queries registered "
+        f"({len(oracles)} with SQL oracles); driver records at most 50"
+    )
     failures = 0
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             spark_pdf = fn(spark, SF_DIR).toPandas()
@@ -117,6 +125,7 @@ def main(only: list[str]) -> int:
             failures += 1
             continue
         print(f"ok   {name}: {len(sr)} rows match ({time.time()-t0:.1f}s)")
+    print(f"[check_entry] ran {ran}/{len(qs)} queries, {failures} failures")
     spark.stop()
     return failures
 
