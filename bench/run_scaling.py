@@ -229,10 +229,17 @@ def main() -> None:
         ),
         "probe_n": r_n.get("ambient_probe"),
         "probe_4n": r_4n.get("ambient_probe"),
-        # pair is clean iff BOTH legs ran in a clean hypervisor window
-        "clean_pair": bool(
-            r_n.get("ambient_probe", {}).get("clean_window")
-            and r_4n.get("ambient_probe", {}).get("clean_window")
+        # pair is clean iff BOTH legs ran in a clean hypervisor window;
+        # a leg recorded before the ambient probe existed is UNKNOWN
+        # (None), matching summarize_pairs.leg_clean — not dirty
+        "clean_pair": (
+            None
+            if r_n.get("ambient_probe") is None
+            or r_4n.get("ambient_probe") is None
+            else bool(
+                r_n["ambient_probe"].get("clean_window")
+                and r_4n["ambient_probe"].get("clean_window")
+            )
         ),
     }
     print(json.dumps(result))

@@ -136,7 +136,10 @@ def frame_sample_features(
                 try:
                     arr = decode_media(bytes(raw), cod, deterministic_fake)
                     rows.append((mid, float(arr.mean()), float(arr.std()), True))
-                except UnsupportedCodec:
+                except (UnsupportedCodec, ValueError):
+                    # ValueError: decode_image raises it on truncated /
+                    # malformed BMP/PPM/PNG bytes — a corrupt row must
+                    # surface as decoded=false, not fail the whole task
                     rows.append((mid, None, None, False))
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_mean", "frame_std", "decoded"]

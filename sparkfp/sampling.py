@@ -58,6 +58,8 @@ def hash_sample(
     and on every rerun. E[|sample|] = fraction * n with ~binomial
     deviation; use :func:`reservoir_per_key` for exact counts.
     """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction!r}")
     threshold = int(fraction * _PRIO_SPACE)
     return df.filter(sample_priority(id_col, seed) < F.lit(threshold))
 
@@ -79,11 +81,16 @@ def reservoir_per_key(
     planet-hot strata, pre-filter with :func:`hash_sample` at a safe
     oversampling fraction first, then exact-cut here.
     """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k!r}")
     w = Window.partitionBy(*key_cols).orderBy(
         sample_priority(id_col, seed).asc(), F.col(id_col).asc()
     )
+    rn = "_prio_rn"
+    while rn in df.columns:  # never clobber a caller column
+        rn += "_"
     return (
-        df.withColumn("_prio_rn", F.row_number().over(w))
-        .filter(F.col("_prio_rn") <= k)
-        .drop("_prio_rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) <= k)
+        .drop(rn)
     )

@@ -185,7 +185,11 @@ def rate_limit_per_key(
         ts = (
             pdf[ts_col].astype("datetime64[ns]").astype(np.int64) // 10**9
         ).to_numpy()
-        assert len(ts) == 0 or (np.diff(ts) >= 0).all(), "ts must lead the sort"
+        # correctness-critical invariant: raise, don't assert — assert
+        # is stripped under `python -O` and the searchsorted chain
+        # would silently produce a wrong emit set on a decreasing ts
+        if len(ts) and not (np.diff(ts) >= 0).all():
+            raise ValueError("rate_limit_per_key: ts must lead the sort")
         # nxt[i] = first row index emittable after an emission at row i
         nxt = np.searchsorted(ts, ts + min_interval_s, side="left")
         keep_idx = []

@@ -429,6 +429,37 @@ def test_frame_features_real_bmp_decode(spark):
     assert not ff.loc["j0", "decoded"]  # compressed codecs stay gated
 
 
+def test_frame_features_corrupt_image_rows_survive(spark):
+    """A corrupt/truncated image row must yield decoded=false, never
+    fail the Spark task: decode_image raises ValueError on malformed
+    BMP/PPM bytes and frame_sample_features translates it per row."""
+    from sparkfp import synth
+
+    good = synth.image_bytes("ok0", "bmp")
+    rows = [
+        ("ok0", good, "image", "bmp", 17, 24, None),
+        # truncated pixel data (headers intact, payload cut short)
+        ("trunc", good[: len(good) // 2], "image", "bmp", 17, 24, None),
+        # not a BMP at all
+        ("garbage", b"\x00\x01\x02 definitely not BM", "image", "bmp",
+         None, None, None),
+        # bad dimensions: BM magic + zeroed headers
+        ("zerohdr", b"BM" + b"\x00" * 60, "image", "bmp", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA)
+    ff = (
+        multimodal.frame_sample_features(media, deterministic_fake=False)
+        .toPandas()
+        .set_index("media_id")
+    )
+    assert ff.loc["ok0", "decoded"]
+    for bad in ("trunc", "garbage", "zerohdr"):
+        assert not ff.loc[bad, "decoded"]
+        assert ff.loc[bad, "frame_mean"] is None or np.isnan(
+            ff.loc[bad, "frame_mean"]
+        )
+
+
 # ------------------------------------------------------------------ analytics
 
 
@@ -730,3 +761,27 @@ def test_reservoir_per_key_exact_k_uniform(spark):
         )
         exp = {d for _, d in prio[:8]}
         assert set(pdf[pdf.grp == grp].doc_id) == exp, grp
+
+
+def test_sampling_input_validation_and_column_guard(spark):
+    """fraction outside [0,1] / negative k raise instead of silently
+    degenerating; a caller column named _prio_rn survives untouched."""
+    from sparkfp import sampling
+
+    df = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    for bad in (-0.1, 1.5):
+        with pytest.raises(ValueError, match="fraction"):
+            sampling.hash_sample(df, "doc_id", bad)
+    with pytest.raises(ValueError, match="k must be"):
+        sampling.reservoir_per_key(df, ["doc_id"], "doc_id", -1)
+    # boundary fractions stay legal
+    assert sampling.hash_sample(df, "doc_id", 0.0).count() == 0
+    assert sampling.hash_sample(df, "doc_id", 1.0).count() == 50
+
+    clash = df.withColumn("grp", (F.col("doc_id") % 2).cast("string")).withColumn(
+        "_prio_rn", F.lit(777)
+    )
+    out = sampling.reservoir_per_key(clash, ["grp"], "doc_id", 3).toPandas()
+    assert "_prio_rn" in out.columns
+    assert (out["_prio_rn"] == 777).all()
+    assert out.groupby("grp").size().to_dict() == {"0": 3, "1": 3}

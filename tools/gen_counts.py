@@ -40,13 +40,24 @@ def main() -> None:
 
     src, gate = newest_correctness()
     if gate:
+        # strict green requires the value-hash check to have actually
+        # run and passed; a row whose hash comparison was skipped
+        # (hash_match None) is reported separately, never counted green
         green = sum(
             1
             for row in gate.values()
             if row.get("rows_match") and row.get("schema_match")
-            and row.get("hash_match") is not False
+            and row.get("hash_match") is True
+        )
+        rows_only = sum(
+            1
+            for row in gate.values()
+            if row.get("rows_match") and row.get("schema_match")
+            and row.get("hash_match") is None
         )
         gate_line = f"{green}/{len(gate)} driver rows green in {src}"
+        if rows_only:
+            gate_line += f" (+{rows_only} rows-only, hash check absent)"
     else:
         gate_line = "no CORRECTNESS file yet"
 
