@@ -80,24 +80,29 @@ def _ulaw_to_linear(u: np.ndarray) -> np.ndarray:
 
 # ----------------------- image codecs (pure numpy, public formats) ---
 #
-# BMP (Windows DIB, BITMAPINFOHEADER) and PPM (netpbm P6) are
-# uncompressed public formats decodable with numpy alone — they make
-# the multimodal frame path REAL for image rows in this container,
-# shrinking the deterministic-fake surface to jpeg/video (which need
-# Pillow/ffmpeg). Both decoders return HxWx3 uint8 RGB.
+# BMP (Windows DIB, BITMAPINFOHEADER), PPM (netpbm P6), and PNG
+# (stdlib zlib inflate + numpy unfiltering) are public formats
+# decodable with no external libraries — they make the multimodal
+# frame path REAL for image rows in this container, shrinking the
+# deterministic-fake surface to jpeg/video (which need Pillow/ffmpeg).
+# All decoders return HxWx3 uint8 RGB.
 
-IMAGE_CODECS = {"bmp", "ppm"}
+IMAGE_CODECS = {"bmp", "ppm", "png"}
 
 _BMP_FILE_HEADER = 14
 _BMP_INFO_HEADER = 40
 
 
-def encode_image(img: np.ndarray, codec: str) -> bytes:
-    """HxWx3 uint8 RGB -> bytes (bmp: 24-bit BI_RGB bottom-up; ppm: P6)."""
+def encode_image(img: np.ndarray, codec: str, png_filter: int = 0) -> bytes:
+    """HxWx3 uint8 RGB -> bytes (bmp: 24-bit BI_RGB bottom-up; ppm: P6;
+    png: 8-bit RGB, every scanline under ``png_filter`` 0-4 — the
+    filter knob exists so tests can exercise each PNG unfilter path)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError(f"expected HxWx3 RGB, got shape {img.shape}")
     h, w, _ = img.shape
+    if codec == "png":
+        return _encode_png(img, png_filter)
     if codec == "bmp":
         stride = (3 * w + 3) // 4 * 4
         rows = np.zeros((h, stride), dtype=np.uint8)
@@ -119,11 +124,15 @@ def encode_image(img: np.ndarray, codec: str) -> bytes:
 def decode_image(raw: bytes, codec: str) -> np.ndarray:
     """bytes -> HxWx3 uint8 RGB. BMP supports 24/32-bit uncompressed
     (BI_RGB), bottom-up and top-down; PPM supports binary P6 with
-    comments. Vectorized: one frombuffer + strided reshape per image."""
+    comments; PNG supports 8-bit gray/RGB/RGBA, non-interlaced, all
+    five scanline filters. BMP/PPM are one frombuffer + strided
+    reshape; PNG is zlib inflate + per-row numpy unfiltering."""
     if codec == "bmp":
         return _decode_bmp(raw)
     if codec == "ppm":
         return _decode_ppm(raw)
+    if codec == "png":
+        return _decode_png(raw)
     raise UnsupportedCodec(codec)
 
 
@@ -190,6 +199,159 @@ def _decode_ppm(raw: bytes) -> np.ndarray:
         np.frombuffer(raw, dtype=np.uint8, count=need, offset=pos)
         .reshape(h, w, 3)
         .copy()
+    )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (8-bit depth only; palette/16-bit
+# would need more machinery than the fixtures justify)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _decode_png(raw: bytes) -> np.ndarray:
+    """Pure-Python PNG decode: chunk walk with CRC verification, zlib
+    inflate of the IDAT stream, then per-scanline reconstruction of
+    all five filter types (None/Sub/Up/Average/Paeth). Sub uses a
+    per-channel modular cumsum; Average/Paeth carry a true left
+    dependence so those rows run a scalar loop — acceptable because
+    filtered rows are a per-image cost inside an Arrow batch, and this
+    container has no C decoder to call."""
+    import struct
+    import zlib
+
+    if raw[:8] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos, ihdr, idat, saw_iend = 8, None, [], False
+    while pos + 8 <= len(raw):
+        (ln,) = struct.unpack_from(">I", raw, pos)
+        ctype = raw[pos + 4: pos + 8]
+        data = raw[pos + 8: pos + 8 + ln]
+        if len(data) < ln or pos + 12 + ln > len(raw):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", raw, pos + 8 + ln)
+        if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+            raise ValueError(f"bad PNG CRC in {ctype!r} chunk")
+        pos += 12 + ln
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            saw_iend = True
+            break
+    if ihdr is None or len(ihdr) != 13 or not idat or not saw_iend:
+        raise ValueError("missing PNG IHDR/IDAT/IEND")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8:
+        raise UnsupportedCodec(f"png bit depth {depth}")
+    if color not in _PNG_CHANNELS:
+        raise UnsupportedCodec(f"png color type {color}")
+    if interlace:
+        raise UnsupportedCodec("png interlaced (Adam7)")
+    if comp != 0 or filt != 0:
+        raise ValueError(f"bad PNG compression/filter method {comp}/{filt}")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    try:
+        dec = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad PNG deflate stream: {e}") from e
+    nch = _PNG_CHANNELS[color]
+    stride = w * nch
+    if len(dec) != h * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    lines = np.frombuffer(dec, dtype=np.uint8).reshape(h, 1 + stride)
+    ftypes, data = lines[:, 0], lines[:, 1:]
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, line = int(ftypes[y]), data[y]
+        if f == 0:
+            cur = line.copy()
+        elif f == 1:  # Sub: modular cumsum per channel offset
+            cur = np.empty(stride, dtype=np.uint8)
+            for o in range(nch):
+                cur[o::nch] = np.cumsum(
+                    line[o::nch], dtype=np.int64
+                ).astype(np.uint8)
+        elif f == 2:  # Up
+            cur = line + prev  # uint8 addition wraps mod 256
+        elif f == 3:  # Average
+            cur = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(cur[i - nch]) if i >= nch else 0
+                cur[i] = (int(line[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            cur = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(cur[i - nch]) if i >= nch else 0
+                b, c = int(prev[i]), int(prev[i - nch]) if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG scanline filter type {f}")
+        recon[y] = cur
+        prev = cur
+    img = recon.reshape(h, w, nch)
+    if nch == 1:
+        img = np.repeat(img[:, :, None].reshape(h, w, 1), 3, axis=2)
+    elif nch == 4:
+        img = img[:, :, :3]  # alpha dropped, matching the BMP 32bpp path
+    return np.ascontiguousarray(img)
+
+
+def _encode_png(img: np.ndarray, png_filter: int) -> bytes:
+    """8-bit RGB PNG with every scanline filtered under `png_filter`
+    (0-4) — vectorized filtering from the original pixels; the filter
+    knob lets tests drive each decoder reconstruction path."""
+    import struct
+    import zlib
+
+    if png_filter not in (0, 1, 2, 3, 4):
+        raise ValueError(f"png_filter must be 0-4, got {png_filter}")
+    h, w, nch = img.shape
+    flat = img.reshape(h, w * nch).astype(np.int32)
+    left = np.zeros_like(flat)
+    left[:, nch:] = flat[:, :-nch]
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    upleft = np.zeros_like(flat)
+    upleft[1:, nch:] = flat[:-1, :-nch]
+    if png_filter == 0:
+        filtered = flat
+    elif png_filter == 1:
+        filtered = flat - left
+    elif png_filter == 2:
+        filtered = flat - up
+    elif png_filter == 3:
+        filtered = flat - (left + up) // 2
+    else:  # Paeth
+        p = left + up - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+        )
+        filtered = flat - pred
+    scan = np.concatenate(
+        [np.full((h, 1), png_filter, dtype=np.uint8),
+         (filtered & 0xFF).astype(np.uint8)],
+        axis=1,
+    )
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan.tobytes()))
+        + chunk(b"IEND", b"")
     )
 
 

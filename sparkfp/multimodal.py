@@ -87,9 +87,9 @@ def byte_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
 def decode_media(raw: bytes, codec: str, deterministic_fake: bool = False) -> np.ndarray:
     """Decode a media blob to a numpy array.
 
-    Audio codecs (pcm/ulaw) and uncompressed image codecs (bmp/ppm)
-    decode for REAL — pure numpy, no external libraries. Compressed
-    image/video codecs (jpeg/png/h264) raise UnsupportedCodec unless
+    Audio codecs (pcm/ulaw) and library-free image codecs (bmp/ppm/png
+    — PNG via stdlib zlib + numpy unfiltering) decode for REAL.
+    Lossy/compressed codecs (jpeg/h264) raise UnsupportedCodec unless
     ``deterministic_fake=True``, which returns a seeded fake frame so
     downstream plumbing (resize, feature UDF shapes, batch
     partitioning) is testable without decoder libraries. STUB: swap in

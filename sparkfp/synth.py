@@ -289,8 +289,13 @@ def image_pixels(image_id: str, h: int = 24, w: int = 17, seed: int = 42) -> np.
     return _id_rng(seed, image_id).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
-def image_bytes(image_id: str, image_codec: str = "bmp", **kw) -> bytes:
+def image_bytes(
+    image_id: str, image_codec: str = "bmp", png_filter: int = 0, **kw
+) -> bytes:
     """Encoded deterministic test image (input construction, shared by
     the entry query and the fixture generator — the oracle decodes it
-    with its own independent scalar parser)."""
-    return codec.encode_image(image_pixels(image_id, **kw), image_codec)
+    with its own independent scalar parser). png_filter selects the PNG
+    scanline filter so fixtures exercise each reconstruction path."""
+    return codec.encode_image(
+        image_pixels(image_id, **kw), image_codec, png_filter=png_filter
+    )

@@ -123,3 +123,100 @@ def test_bmp_engine_decode_equals_oracle_scalar_parse():
     )
     eng_td = codec.decode_image(raw_td, "bmp").astype(np.float64).ravel()
     assert np.array_equal(eng_td, np.array(orc.decode_bmp_pixels(raw_td)))
+
+
+# ----------------------------------------------------------------- png
+
+
+@pytest.mark.parametrize("f", [0, 1, 2, 3, 4])
+def test_png_roundtrip_exact_every_filter(f):
+    """Encode under each of the five PNG scanline filters, decode, and
+    recover the pixels exactly — random AND gradient content (gradients
+    stress Sub/Average/Paeth's prediction arithmetic near wraparound)."""
+    img = _img(24, 17)
+    assert np.array_equal(codec.decode_image(codec.encode_image(img, "png", png_filter=f), "png"), img)
+    grad = np.tile(
+        (np.arange(17, dtype=np.uint8)[None, :, None] * 15), (24, 1, 3)
+    ) + np.arange(24, dtype=np.uint8)[:, None, None]
+    assert np.array_equal(
+        codec.decode_image(codec.encode_image(grad, "png", png_filter=f), "png"),
+        grad,
+    )
+
+
+def test_png_engine_decode_equals_oracle_scalar_parse():
+    """Engine zlib+numpy PNG decode == the fixture oracle's independent
+    byte-at-a-time unfilter loop, for every filter type."""
+    import tools.dsp_oracle as orc
+
+    img = _img(11, 9, seed=5)
+    for f in range(5):
+        raw = codec.encode_image(img, "png", png_filter=f)
+        eng = codec.decode_image(raw, "png").astype(np.float64).ravel()
+        assert np.array_equal(eng, np.array(orc.decode_png_pixels(raw))), f
+
+
+def test_png_gray_and_rgba_decode():
+    """Hand-built grayscale (color 0) and RGBA (color 6) PNGs decode to
+    HxWx3: gray replicated across channels, alpha dropped."""
+    import struct
+    import zlib
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 2x3 grayscale, filter 0 rows
+    gray = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint8)
+    scan = b"".join(b"\x00" + row.tobytes() for row in gray)
+    raw = (
+        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+    )
+    out = codec.decode_image(raw, "png")
+    assert out.shape == (2, 3, 3)
+    assert np.array_equal(out[:, :, 0], gray)
+    assert np.array_equal(out[:, :, 1], gray)
+    # 2x2 RGBA with varying alpha; alpha must be dropped, not blended
+    rgba = np.arange(16, dtype=np.uint8).reshape(2, 2, 4)
+    scan = b"".join(b"\x00" + row.tobytes() for row in rgba)
+    raw = (
+        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+    )
+    out = codec.decode_image(raw, "png")
+    assert np.array_equal(out, rgba[:, :, :3])
+
+
+def test_png_error_paths():
+    img = _img(6, 5)
+    raw = codec.encode_image(img, "png", png_filter=2)
+    with pytest.raises(ValueError):  # truncated: IEND gone
+        codec.decode_image(raw[:-20], "png")
+    bad = bytearray(raw)
+    bad[len(raw) // 2] ^= 0xFF  # corrupt IDAT payload -> CRC mismatch
+    with pytest.raises(ValueError):
+        codec.decode_image(bytes(bad), "png")
+    with pytest.raises(ValueError):
+        codec.decode_image(b"\x89PNG\r\n\x1a\n\x00\x00", "png")
+    with pytest.raises(codec.UnsupportedCodec):  # 16-bit depth gated
+        import struct
+        import zlib as z
+
+        def chunk(ctype, payload):
+            return (
+                struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I", z.crc32(ctype + payload) & 0xFFFFFFFF)
+            )
+
+        codec.decode_image(
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+            + chunk(b"IDAT", z.compress(b"\x00" * 26)) + chunk(b"IEND", b""),
+            "png",
+        )
+    with pytest.raises(ValueError):
+        codec.encode_image(img, "png", png_filter=9)

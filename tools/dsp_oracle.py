@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import math
 import struct
+import zlib
 from collections import Counter
 from decimal import ROUND_HALF_UP, Decimal
 
@@ -280,20 +281,97 @@ def decode_bmp_pixels(raw: bytes) -> list[float]:
     return vals
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor, restated scalar from the PNG spec (RFC 2083)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png_pixels(raw: bytes) -> list[float]:
+    """Independent scalar PNG parse (8-bit RGB, non-interlaced): manual
+    chunk walk, stdlib zlib inflate (the spec's DEFLATE is the public
+    contract, not engine code), then byte-at-a-time unfiltering with a
+    scalar Paeth — nothing shared with the engine's vectorized
+    cumsum/strided reconstruction. Returns RGB values row-major."""
+    if raw[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not PNG")
+    pos, idat, hdr = 8, b"", None
+    while pos + 12 <= len(raw):
+        ln = int.from_bytes(raw[pos: pos + 4], "big")
+        ctype = raw[pos + 4: pos + 8]
+        body = raw[pos + 8: pos + 8 + ln]
+        if zlib.crc32(ctype + body) != int.from_bytes(
+            raw[pos + 8 + ln: pos + 12 + ln], "big"
+        ):
+            raise ValueError("png crc mismatch")
+        if ctype == b"IHDR":
+            hdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if hdr is None:
+        raise ValueError("png missing IHDR")
+    w = int.from_bytes(hdr[0:4], "big")
+    h = int.from_bytes(hdr[4:8], "big")
+    depth, color = hdr[8], hdr[9]
+    if depth != 8 or color != 2 or hdr[12] != 0:
+        raise ValueError("oracle handles 8-bit RGB non-interlaced only")
+    dec = zlib.decompress(idat)
+    stride = 3 * w
+    if len(dec) != h * (stride + 1):
+        raise ValueError("png data length mismatch")
+    vals: list[float] = []
+    prev = [0] * stride
+    for y in range(h):
+        base = y * (stride + 1)
+        ftype = dec[base]
+        cur = [0] * stride
+        for i in range(stride):
+            x = dec[base + 1 + i]
+            a = cur[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ftype == 0:
+                r = x
+            elif ftype == 1:
+                r = x + a
+            elif ftype == 2:
+                r = x + b
+            elif ftype == 3:
+                r = x + (a + b) // 2
+            elif ftype == 4:
+                r = x + _paeth(a, b, c)
+            else:
+                raise ValueError(f"png filter {ftype}")
+            cur[i] = r % 256
+        vals.extend(float(v) for v in cur)
+        prev = cur
+    return vals
+
+
 def frame_features(
     raw: bytes, codec_name: str
 ) -> tuple[float, float, bool]:
     """(frame_mean, frame_std, decoded). Audio decodes via the oracle
-    decoder; bmp via the oracle's scalar parser (a REAL image decode —
-    the engine's numpy BMP decoder is verified against it); jpeg/png/
-    h264 follow the documented deterministic-fake spec (Philox keyed on
-    the first 8 payload bytes, 16x16x3 uint8) — the fake's *spec* is
-    shared, its surrounding code is not."""
+    decoder; bmp and png via the oracle's scalar parsers (REAL image
+    decodes — the engine's numpy BMP/PNG decoders are verified against
+    them); jpeg/h264 follow the documented deterministic-fake spec
+    (Philox keyed on the first 8 payload bytes, 16x16x3 uint8) — the
+    fake's *spec* is shared, its surrounding code is not."""
     if codec_name in ("pcm_s16le", "ulaw"):
         vals = decode(raw, codec_name)
     elif codec_name == "bmp":
         vals = decode_bmp_pixels(raw)
-    elif codec_name in ("jpeg", "png", "h264"):
+    elif codec_name == "png":
+        vals = decode_png_pixels(raw)
+    elif codec_name in ("jpeg", "h264"):
         key = int.from_bytes(raw[:8].ljust(8, b"\0"), "little")
         # explicit uint64 dtype: a plain [int, 0] list detours through
         # float64 inside numpy and silently rounds the key

@@ -44,6 +44,7 @@ N_BYTE_CLIPS = 16
 N_FRAME_CLIPS = 8
 N_FRAME_IMAGES = 4
 N_FRAME_BMPS = 4
+N_FRAME_PNGS = 4
 
 
 def _clip(i: int, track_ids: list[str]) -> tuple:
@@ -107,12 +108,19 @@ def frame_feature_inputs(track_ids: list[str]) -> list[tuple[str, bytes, str]]:
         (f"img_{i:02d}", hashlib.md5(b"img%d" % i).digest() * 64, "jpeg")
         for i in range(N_FRAME_IMAGES)
     ]
-    # real BMP rows: bytes come from the shared synth generator (input
-    # construction), but the oracle decodes them with its own scalar
-    # parser — a genuine engine-vs-oracle image decode comparison
+    # real BMP/PNG rows: bytes come from the shared synth generator
+    # (input construction), but the oracle decodes them with its own
+    # scalar parsers — a genuine engine-vs-oracle image decode
+    # comparison; each PNG row uses a different scanline filter
+    # (Sub/Up/Average/Paeth) so every reconstruction path is gated
     items += [
         (f"bmp_{i:02d}", synth.image_bytes(f"bmp_{i:02d}"), "bmp")
         for i in range(N_FRAME_BMPS)
+    ]
+    items += [
+        (f"png_{i:02d}",
+         synth.image_bytes(f"png_{i:02d}", "png", png_filter=i + 1), "png")
+        for i in range(N_FRAME_PNGS)
     ]
     return items
 
