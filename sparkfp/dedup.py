@@ -303,6 +303,7 @@ def near_dup_band_verdicts_stream(
     n_hashes: int = 16,
     n_bands: int = 4,
     k: int = 3,
+    claims: DataFrame | None = None,
 ) -> DataFrame:
     """Streaming half of the near-dup suppressor: per-(band_idx, band)
     keyed state buffers (ts, id) rows until the watermark passes them,
@@ -319,14 +320,18 @@ def near_dup_band_verdicts_stream(
 
     State per band key = the sub-watermark (ts, id) buffer — bounded by
     the watermark like exact_dedup_stream's horizon — PLUS one
-    ``has_first`` bool that is retained for every band value ever seen:
-    first-ever semantics inherently require remembering which bands
-    have been claimed, so band-key cardinality grows with the distinct
-    bands of the corpus (unlike dropDuplicatesWithinWatermark, which
-    evicts). At the 100 TB design point cap this by running the
-    suppressor per time-partition (e.g. daily corpora) or periodically
-    compacting claimed bands to a broadcast bloom/side table; within a
-    single run the per-key cost is one bool.
+    ``has_first`` bool for bands claimed DURING this run: first-ever
+    semantics inherently require remembering which bands have been
+    claimed. The ``claims`` side table is the compaction policy that
+    keeps that bool set bounded: snapshot the claimed bands of each
+    epoch (claims_from_verdicts over the epoch's verdict sink), feed
+    the union of prior snapshots into the next epoch's run, and the
+    stateful op (a) treats side-table bands as pre-claimed without any
+    state row and (b) EVICTS a band's state entirely once its buffer
+    drains if the claim is already external — so state row count is
+    bounded by the bands *active in the current epoch*, not the
+    corpus's lifetime band cardinality. The side table is static per
+    run (epoch-grain), sidestepping stream-static file-index staleness.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -334,19 +339,45 @@ def near_dup_band_verdicts_stream(
     banded = banded_docs(
         stream, id_col, text_col, ts_col, n_hashes, n_bands, k
     ).withColumn("event_time", F.timestamp_millis(F.col(ts_col)))
+    if claims is not None:
+        # prior-epoch claimed bands, broadcast: every row of a claimed
+        # band arrives pre-marked, so the stateful op needs no state
+        # row to know the band is taken
+        claimed = claims.select(
+            F.col("band_idx").cast("int").alias("band_idx"),
+            F.col("band").cast("string").alias("band"),
+            F.lit(True).alias("_claimed"),
+        ).dropDuplicates(["band_idx", "band"])
+        banded = banded.join(
+            F.broadcast(claimed), ["band_idx", "band"], "left"
+        ).withColumn("_claimed", F.coalesce("_claimed", F.lit(False)))
+    else:
+        banded = banded.withColumn("_claimed", F.lit(False))
 
-    out_schema = f"{id_col} string, ts_ms long, band_idx int, is_first boolean"
-    state_schema = "has_first boolean, buf_ts array<long>, buf_id array<string>"
+    out_schema = (
+        f"{id_col} string, ts_ms long, band_idx int, band string, "
+        "is_first boolean"
+    )
+    state_schema = (
+        "has_first boolean, claimed boolean, "
+        "buf_ts array<long>, buf_id array<string>"
+    )
 
     def fn(key, pdfs, state: GroupState):
-        band_idx = int(key[0])
+        band_idx, band = int(key[0]), str(key[1])
         if state.exists:
-            has_first, buf_ts, buf_id = state.get
+            has_first, claimed, buf_ts, buf_id = state.get
             buf = list(zip(buf_ts or [], buf_id or []))
         else:
-            has_first, buf = False, []
+            has_first, claimed, buf = False, False, []
         for pdf in pdfs:
+            if len(pdf) and bool(pdf["_claimed"].iloc[0]):
+                # constant per band key; persisted in state because a
+                # later TIMEOUT invocation has no input rows to re-read
+                # the side-table flag from
+                claimed = True
             buf.extend((int(t), str(d)) for t, d in zip(pdf[ts_col], pdf[id_col]))
+        has_first = has_first or claimed
         buf.sort()
         wm = state.getCurrentWatermarkMs()
         # STRICT t < wm so input-driven release and EventTimeTimeout
@@ -361,15 +392,24 @@ def near_dup_band_verdicts_stream(
         buf = [(t, d) for t, d in buf if t >= wm]
         out = []
         for t, d in ready:
-            out.append((d, t, band_idx, not has_first))
+            out.append((d, t, band_idx, band, not has_first))
             has_first = True
-        state.update(
-            (has_first, [t for t, _ in buf], [d for _, d in buf])
-        )
-        if buf:
-            state.setTimeoutTimestamp(max(buf[0][0], wm + 1))
+        if not buf and (claimed or not has_first):
+            # compaction: nothing buffered and the claim (if any) is
+            # already externalized in the side table — drop the state
+            # row entirely instead of retaining a has_first bool per
+            # band forever. Bands newly claimed THIS epoch keep their
+            # bool until the epoch's claims are snapshotted.
+            if state.exists:
+                state.remove()
+        else:
+            state.update(
+                (has_first, claimed, [t for t, _ in buf], [d for _, d in buf])
+            )
+            if buf:
+                state.setTimeoutTimestamp(max(buf[0][0], wm + 1))
         yield pd.DataFrame(
-            out, columns=[id_col, "ts_ms", "band_idx", "is_first"]
+            out, columns=[id_col, "ts_ms", "band_idx", "band", "is_first"]
         )
 
     return (
@@ -394,6 +434,20 @@ def collapse_band_verdicts(verdicts: DataFrame, id_col: str, n_bands: int = 4) -
         )
         .filter((F.col("_n") == n_bands) & (F.col("_all_first") == 1))
         .select(id_col, "ts_ms")
+    )
+
+
+def claims_from_verdicts(verdicts: DataFrame) -> DataFrame:
+    """Epoch-end compaction snapshot: the distinct (band_idx, band)
+    pairs claimed by this epoch's verdict stream. Union with prior
+    snapshots and pass as ``claims`` to the next epoch's
+    near_dup_band_verdicts_stream run — the claimed-band state the
+    stream would otherwise retain forever lives here instead, and the
+    next run's state stays bounded by its own epoch's active bands."""
+    return (
+        verdicts.filter(F.col("is_first"))
+        .select("band_idx", "band")
+        .dropDuplicates(["band_idx", "band"])
     )
 
 

@@ -388,3 +388,93 @@ def test_hash_sample_stream_equals_batch(spark, tmp_path):
     assert q.awaitTermination(300)
     got = sink.read(spark).toPandas()
     assert set(got.doc_id) == batch_ids and len(got) == len(batch_ids)
+
+
+def test_near_dup_claims_compaction_bounds_state(spark, tmp_path):
+    """Multi-epoch band-claim compaction (dedup.claims_from_verdicts +
+    the `claims` side table): a doc duplicating an epoch-1 band is
+    suppressed in epoch 2 without any carried state, and the epoch-2
+    state store's final row count equals the bands NEWLY claimed in
+    epoch 2 — pre-claimed bands evict once their buffers drain, so
+    state is bounded per-epoch, not by lifetime band cardinality."""
+    import json
+
+    from sparkfp import dedup
+
+    base = 1_700_000_000_000
+    long0 = (
+        "the quick brown fox jumps over the lazy dog today while the sun "
+        "sets slowly behind the tall green hills and the river flows gently "
+        "past the old stone bridge"
+    )
+    fresh = (
+        "entirely new epoch two prose concerning columnar encodings "
+        "dictionary pages and run length schemes inside modern table formats"
+    )
+
+    def run_epoch(name, rows, claims):
+        src = str(tmp_path / f"src_{name}")
+        ckpt = str(tmp_path / f"ckpt_{name}")
+        out = str(tmp_path / f"verdicts_{name}")
+        for row in rows:  # one file per row -> one micro-batch per row
+            spark.createDataFrame(
+                [row], "doc_id string, ts_ms long, text string"
+            ).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id string, ts_ms long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        verdicts = dedup.near_dup_band_verdicts_stream(
+            stream, "doc_id", "text", "ts_ms", watermark="2 hours",
+            claims=claims,
+        )
+        q = (
+            verdicts.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        state_rows = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in (json.loads(pp.json) for pp in q.recentProgress)
+            if p.get("stateOperators")
+        ]
+        return spark.read.parquet(out), state_rows
+
+    hour = 3_600_000
+    flush1 = ("zz_flush1", base + 24 * hour, "flush sentinel epoch one xyz")
+    v1, _ = run_epoch(
+        "e1",
+        [("d0", base, long0), ("d1", base + 60_000, long0), flush1],
+        claims=None,
+    )
+    surv1 = {r.doc_id for r in dedup.collapse_band_verdicts(v1, "doc_id").collect()}
+    assert "d0" in surv1 and "d1" not in surv1
+
+    claims1 = dedup.claims_from_verdicts(v1)
+    n_claims1 = claims1.count()
+    assert n_claims1 > 0
+
+    # epoch 2: d2 duplicates long0 (all bands claimed in epoch 1),
+    # d3 is fresh; a flush sentinel drains every buffer
+    flush2 = ("zz_flush2", base + 24 * hour, "flush sentinel epoch two abc")
+    rows2 = [("d2", base, long0), ("d3", base + 60_000, fresh), flush2]
+    v2, state2 = run_epoch("e2", rows2, claims=claims1)
+    surv2 = {r.doc_id for r in dedup.collapse_band_verdicts(v2, "doc_id").collect()}
+    assert "d2" not in surv2  # suppressed by the cross-epoch claim
+    assert "d3" in surv2
+
+    # bounded state: final row count == bands newly claimed in epoch 2
+    df2 = spark.createDataFrame(rows2, "doc_id string, ts_ms long, text string")
+    bands2 = dedup.banded_docs(df2, "doc_id", "text", "ts_ms").select(
+        "band_idx", "band"
+    ).distinct()
+    n_total2 = bands2.count()
+    n_new2 = bands2.join(claims1, ["band_idx", "band"], "left_anti").count()
+    assert n_new2 < n_total2  # d2's pre-claimed bands exist and evict
+    assert state2, "no stateOperators progress recorded"
+    assert state2[-1] == n_new2
