@@ -785,3 +785,28 @@ def test_sampling_input_validation_and_column_guard(spark):
     assert "_prio_rn" in out.columns
     assert (out["_prio_rn"] == 777).all()
     assert out.groupby("grp").size().to_dict() == {"0": 3, "1": 3}
+
+
+def test_reservoir_plan_uses_window_group_limit(spark):
+    """Scale guard: on Spark 4 the row_number() <= k filter must
+    compile to a WindowGroupLimit rank-limit pushdown with a PARTIAL
+    (map-side, pre-shuffle) stage — each input partition forwards at
+    most k rows per stratum instead of sorting whole strata. A
+    regression to a full per-stratum window sort would be invisible in
+    small-scale results, so pin the physical plan."""
+    from sparkfp import sampling
+
+    df = (
+        spark.range(0, 10_000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("grp", (F.col("doc_id") % 7).cast("string"))
+    )
+    plan = (
+        sampling.reservoir_per_key(df, ["grp"], "doc_id", 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+    assert "row_number(), 5, Partial" in plan, plan
+    assert "row_number(), 5, Final" in plan, plan
+    # the Partial stage must sit BELOW the shuffle (printed deeper)
+    assert plan.index("Partial") > plan.index("Exchange"), plan
