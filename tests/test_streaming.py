@@ -390,6 +390,70 @@ def test_hash_sample_stream_equals_batch(spark, tmp_path):
     assert set(got.doc_id) == batch_ids and len(got) == len(batch_ids)
 
 
+def test_hash_sample_rechunk_and_restart(spark, tmp_path):
+    """Layout-stability under the streaming runner, proven two ways:
+    (a) the SAME corpus re-chunked into a different file/trigger layout
+    yields the identical sample membership; (b) a query stopped halfway
+    and restarted from its checkpoint emits each sampled row exactly
+    once with the same total membership — determinism survives both
+    re-chunking and recovery."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sparkfp import sampling
+    from sparkfp.sink import ExactlyOnceParquetSink
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(400), "ts_ms": [1_700_000_000_000 + i for i in range(400)]}
+    )
+    df = spark.createDataFrame(pdf)
+    batch_ids = {
+        r.doc_id for r in sampling.hash_sample(df, "doc_id", 0.25, seed=11).collect()
+    }
+
+    def drain(src, sink_dir, ckpt, fpt):
+        stream = (
+            spark.readStream.schema("doc_id long, ts_ms long")
+            .option("maxFilesPerTrigger", fpt)
+            .parquet(src)
+        )
+        sink = ExactlyOnceParquetSink(sink_dir)
+        q = (
+            sampling.hash_sample(stream, "doc_id", 0.25, seed=11)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        return sink
+
+    # (a) different chunking: 7 files, 2 per trigger (vs 4/1 above)
+    src_a = str(tmp_path / "src_a")
+    streaming.write_stream_source(df, src_a, n_files=7, order_col="ts_ms")
+    sink_a = drain(src_a, str(tmp_path / "sink_a"), str(tmp_path / "ckpt_a"), 2)
+    got_a = sink_a.read(spark).toPandas()
+    assert set(got_a.doc_id) == batch_ids and len(got_a) == len(batch_ids)
+
+    # (b) restart: drain the first half, then append the rest and
+    # resume from the same checkpoint into the same sink
+    src_b = str(tmp_path / "src_b")
+    sink_dir_b, ckpt_b = str(tmp_path / "sink_b"), str(tmp_path / "ckpt_b")
+    half = 200
+    streaming.write_stream_source(
+        df.filter(F.col("doc_id") < half), src_b, n_files=3, order_col="ts_ms"
+    )
+    drain(src_b, sink_dir_b, ckpt_b, 1)
+    streaming.write_stream_source(
+        df.filter(F.col("doc_id") >= half), src_b, n_files=3, order_col="ts_ms"
+    )
+    sink_b = drain(src_b, sink_dir_b, ckpt_b, 1)
+    got_b = sink_b.read(spark).toPandas()
+    assert set(got_b.doc_id) == batch_ids
+    assert len(got_b) == len(batch_ids)  # exactly once across the restart
+
+
 def test_near_dup_claims_compaction_bounds_state(spark, tmp_path):
     """Multi-epoch band-claim compaction (dedup.claims_from_verdicts +
     the `claims` side table): a doc duplicating an epoch-1 band is
