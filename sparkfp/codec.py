@@ -30,12 +30,16 @@ class UnsupportedCodec(NotImplementedError):
     """
 
 
-def encode(pcm: np.ndarray, codec: str) -> bytes:
+def encode(pcm: np.ndarray, codec: str, sr_hz: int = 8000) -> bytes:
     """float32 [-1,1] -> bytes under the named codec."""
     if codec == "pcm_s16le":
         return _f32_to_s16(pcm).tobytes()
     if codec == "ulaw":
         return _linear_to_ulaw(_f32_to_s16(pcm)).tobytes()
+    if codec == "alaw":
+        return _linear_to_alaw(_f32_to_s16(pcm)).tobytes()
+    if codec == "wav":
+        return _encode_wav(_f32_to_s16(pcm), sr_hz)
     raise UnsupportedCodec(codec)
 
 
@@ -46,6 +50,11 @@ def decode(raw: bytes, codec: str) -> np.ndarray:
     if codec == "ulaw":
         s16 = _ulaw_to_linear(np.frombuffer(raw, dtype=np.uint8))
         return s16.astype(np.float32) / 32768.0
+    if codec == "alaw":
+        s16 = _alaw_to_linear(np.frombuffer(raw, dtype=np.uint8))
+        return s16.astype(np.float32) / 32768.0
+    if codec == "wav":
+        return _decode_wav(raw)
     raise UnsupportedCodec(codec)
 
 
@@ -76,6 +85,87 @@ def _ulaw_to_linear(u: np.ndarray) -> np.ndarray:
     mag = ((mant << 3) + _ULAW_BIAS) << exp
     mag = mag - _ULAW_BIAS
     return np.where(sign != 0, -mag, mag).astype(np.int16)
+
+
+def _linear_to_alaw(s16: np.ndarray) -> np.ndarray:
+    """G.711 A-law compress, vectorized port of the published
+    reference formulation (13-bit arithmetic-shift magnitude,
+    segment search over {0x1F..0xFFF}, even bits inverted)."""
+    p13 = s16.astype(np.int32) >> 3  # arithmetic shift, like the spec
+    positive = p13 >= 0
+    mag = np.where(positive, p13, -p13 - 1)
+    # segment ends are (32 << s) - 1: seg = s iff mag >= 32 << (s-1)
+    seg = np.zeros_like(mag)
+    for s in range(1, 8):
+        seg = np.where(mag >= (32 << (s - 1)), s, seg)
+    sat = mag > 0xFFF  # beyond the top segment saturates to 0x7F
+    mant = np.where(seg < 2, (mag >> 1) & 0x0F, (mag >> seg) & 0x0F)
+    aval = np.where(sat, 0x7F, (seg << 4) | mant)
+    mask = np.where(positive, 0xD5, 0x55)
+    return (aval ^ mask).astype(np.uint8)
+
+
+def _alaw_to_linear(a: np.ndarray) -> np.ndarray:
+    """G.711 A-law expand (vectorized): mag = (mant<<4)+8 in segment 0,
+    ((mant<<4)+0x108)<<(seg-1) above; sign bit SET means positive."""
+    v = a.astype(np.int32) ^ 0x55
+    seg = (v >> 4) & 0x07
+    mant = v & 0x0F
+    mag = np.where(
+        seg == 0,
+        (mant << 4) + 8,
+        ((mant << 4) + 0x108) << np.maximum(seg - 1, 0),
+    )
+    return np.where(v & 0x80, mag, -mag).astype(np.int16)
+
+
+def _encode_wav(s16: np.ndarray, sr_hz: int) -> bytes:
+    """Mono 16-bit PCM RIFF/WAVE container."""
+    import struct
+
+    data = s16.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sr_hz, sr_hz * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav(raw: bytes) -> np.ndarray:
+    """RIFF/WAVE chunk walk -> float32 PCM in [-1,1]. Supports mono or
+    multi-channel 16-bit integer PCM (format tag 1); channels are
+    averaged to mono, matching the decode contract's single-series
+    output. Foreign-writer extras (LIST/fact chunks, padded sizes)
+    are skipped by the chunk walk."""
+    import struct
+
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos: pos + 4]
+        (size,) = struct.unpack_from("<I", raw, pos + 4)
+        body = raw[pos + 8: pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing WAV fmt/data chunk")
+    tag, nch, _sr, _bps_avg, _block, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag != 1 or bits != 16:
+        raise UnsupportedCodec(f"wav format tag {tag} / {bits}-bit")
+    if nch < 1:
+        raise ValueError(f"bad WAV channel count {nch}")
+    pcm = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    if nch > 1:
+        pcm = pcm[: len(pcm) - len(pcm) % nch].reshape(-1, nch).mean(axis=1)
+    return (pcm.astype(np.float32) / 32768.0).astype(np.float32)
 
 
 # ----------------------- image codecs (pure numpy, public formats) ---

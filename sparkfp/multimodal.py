@@ -46,7 +46,7 @@ BYTE_FEATURES = T.StructType(
     ]
 )
 
-_DECODABLE = {"pcm_s16le", "ulaw"}  # sparkfp.codec handles these
+_DECODABLE = {"pcm_s16le", "ulaw", "alaw", "wav"}  # sparkfp.codec handles these
 
 
 def byte_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:

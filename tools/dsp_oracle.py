@@ -82,12 +82,65 @@ def _ulaw_expand_table() -> list[int]:
 _ULAW_TABLE = _ulaw_expand_table()
 
 
+def _alaw_expand_table() -> list[int]:
+    """ITU-T G.711 A-law expansion, byte at a time from the spec
+    formula (even bits stored inverted; sign bit SET is positive)."""
+    table = []
+    for byte in range(256):
+        v = byte ^ 0x55
+        seg = (v >> 4) & 0x07
+        t = (v & 0x0F) << 4
+        if seg == 0:
+            t += 8
+        else:
+            t = (t + 0x108) << (seg - 1)
+        table.append(t if (v & 0x80) else -t)
+    return table
+
+
+_ALAW_TABLE = _alaw_expand_table()
+
+
+def _decode_wav_scalar(raw: bytes) -> list[float]:
+    """Scalar RIFF/WAVE walk: struct reads, per-sample loop, channel
+    mean in float64 — independent of the engine's frombuffer path."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("oracle: not RIFF/WAVE")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos: pos + 4]
+        size = struct.unpack_from("<I", raw, pos + 4)[0]
+        body = raw[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        raise ValueError("oracle: missing fmt/data")
+    tag, nch = struct.unpack_from("<HH", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if tag != 1 or bits != 16:
+        raise ValueError("oracle handles 16-bit PCM wav only")
+    samples = [s[0] for s in struct.iter_unpack("<h", data[: len(data) - len(data) % 2])]
+    n_frames = len(samples) // nch
+    out = []
+    for i in range(n_frames):
+        frame = samples[i * nch: (i + 1) * nch]
+        out.append((sum(frame) / nch) / 32768.0)
+    return out
+
+
 def decode(raw: bytes, codec_name: str) -> list[float]:
     """bytes -> PCM floats in [-1, 1]; scalar loops, float64."""
     if codec_name == "pcm_s16le":
         return [s[0] / 32768.0 for s in struct.iter_unpack("<h", raw)]
     if codec_name == "ulaw":
         return [_ULAW_TABLE[b] / 32768.0 for b in raw]
+    if codec_name == "alaw":
+        return [_ALAW_TABLE[b] / 32768.0 for b in raw]
+    if codec_name == "wav":
+        return _decode_wav_scalar(raw)
     raise ValueError(f"oracle cannot decode codec {codec_name!r}")
 
 
