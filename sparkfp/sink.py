@@ -68,3 +68,77 @@ class ExactlyOnceParquetSink:
         if not paths:
             raise FileNotFoundError(f"no committed batches under {self.table_path}")
         return spark.read.parquet(*paths)
+
+
+def iceberg_available(spark) -> bool:
+    """True iff the Iceberg Spark runtime is on the session classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class ExactlyOnceIcebergSink:
+    """foreachBatch target for a real cluster: Iceberg table commits
+    with the committed-batch ledger carried IN the table's snapshot
+    summary, so data + ledger move in one atomic snapshot swap (the
+    parquet sink above needs two steps; Iceberg collapses them).
+
+    Protocol per micro-batch:
+      1. scan the table's snapshot history for ``sparkfp.batch_id`` in
+         any snapshot summary == ledger lookup;
+      2. if absent, append the batch with
+         ``option("snapshot-property.sparkfp.batch_id", str(batch_id))``
+         — Iceberg stamps the property into the new snapshot atomically
+         with the data commit, so a crash between write and mark is
+         impossible by construction.
+
+    CONNECTOR-GATED: the Iceberg runtime jars are not in this
+    container, so constructing this sink without them raises
+    immediately with the config it needs; the protocol itself is what
+    the streaming tests exercise through the parquet twin
+    (same replay contract, see module docstring).
+    """
+
+    PROP = "sparkfp.batch_id"
+
+    def __init__(self, spark, table: str):
+        if not iceberg_available(spark):
+            raise ModuleNotFoundError(
+                "Iceberg Spark runtime not on the classpath; launch with "
+                "--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13 "
+                "and a catalog config (spark.sql.catalog.<name>=org.apache."
+                "iceberg.spark.SparkCatalog). Use ExactlyOnceParquetSink "
+                "for the connector-free twin."
+            )
+        self.spark = spark
+        self.table = table
+
+    def committed_batch_ids(self) -> set[int]:
+        rows = self.spark.sql(
+            f"SELECT summary FROM {self.table}.snapshots"
+        ).collect()
+        out = set()
+        for r in rows:
+            v = (r.summary or {}).get(self.PROP)
+            if v is not None:
+                out.add(int(v))
+        return out
+
+    def is_committed(self, batch_id: int) -> bool:
+        return batch_id in self.committed_batch_ids()
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return  # replay after restart — snapshot already carries it
+        (
+            batch_df.writeTo(self.table)
+            .option(f"snapshot-property.{self.PROP}", str(batch_id))
+            .append()
+        )
+
+    def read(self, spark) -> DataFrame:
+        return spark.read.table(self.table)

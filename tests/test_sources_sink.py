@@ -246,3 +246,18 @@ def test_rest_timeseries_source_backoff_dedup_and_skip(spark):
         assert calls["TAG_C"] == 1  # non-429 errors are terminal, no retry
     finally:
         srv.shutdown()
+
+
+def test_iceberg_sink_connector_gate(spark):
+    """The Iceberg exactly-once sink is connector-gated in this
+    container: constructing it without the runtime jars must raise a
+    clear ModuleNotFoundError naming the --packages coordinate, and
+    iceberg_available must report the absence (not crash)."""
+    from sparkfp.sink import ExactlyOnceIcebergSink, iceberg_available
+
+    assert iceberg_available(spark) is False
+    with pytest.raises(ModuleNotFoundError, match="iceberg-spark-runtime"):
+        ExactlyOnceIcebergSink(spark, "cat.db.matches")
+    # the batch-id snapshot property the protocol keys on is pinned:
+    # renaming it would silently break replay dedup on a real cluster
+    assert ExactlyOnceIcebergSink.PROP == "sparkfp.batch_id"
