@@ -418,7 +418,7 @@ def frame_features(
     them); jpeg/h264 follow the documented deterministic-fake spec
     (Philox keyed on the first 8 payload bytes, 16x16x3 uint8) — the
     fake's *spec* is shared, its surrounding code is not."""
-    if codec_name in ("pcm_s16le", "ulaw"):
+    if codec_name in ("pcm_s16le", "ulaw", "alaw", "wav"):
         vals = decode(raw, codec_name)
     elif codec_name == "bmp":
         vals = decode_bmp_pixels(raw)

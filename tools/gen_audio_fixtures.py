@@ -104,6 +104,13 @@ def frame_feature_inputs(track_ids: list[str]) -> list[tuple[str, bytes, str]]:
         (f"clip_{i:08d}", _clip(i, track_ids)[1], "pcm_s16le")
         for i in range(N_FRAME_CLIPS)
     ]
+    # one row per companded/containered audio codec: engine vectorized
+    # decode vs the oracle's spec-table / struct-walk scalar decoders
+    items += [
+        (f"{cname}_00",
+         synth.clip_row(f"{cname}_00", track_ids, codec_name=cname)[1], cname)
+        for cname in ("alaw", "wav")
+    ]
     items += [
         (f"img_{i:02d}", hashlib.md5(b"img%d" % i).digest() * 64, "jpeg")
         for i in range(N_FRAME_IMAGES)
