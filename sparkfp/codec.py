@@ -170,14 +170,15 @@ def _decode_wav(raw: bytes) -> np.ndarray:
 
 # ----------------------- image codecs (pure numpy, public formats) ---
 #
-# BMP (Windows DIB, BITMAPINFOHEADER), PPM (netpbm P6), and PNG
-# (stdlib zlib inflate + numpy unfiltering) are public formats
-# decodable with no external libraries — they make the multimodal
-# frame path REAL for image rows in this container, shrinking the
-# deterministic-fake surface to jpeg/video (which need Pillow/ffmpeg).
-# All decoders return HxWx3 uint8 RGB.
+# BMP (Windows DIB, BITMAPINFOHEADER), PPM (netpbm P6), PNG (stdlib
+# zlib inflate + numpy unfiltering), and baseline JPEG (pure-numpy
+# huffman + IDCT, sparkfp/jpeg.py) are public formats decodable with
+# no external libraries — they make the multimodal frame path REAL for
+# image rows in this container, shrinking the deterministic-fake
+# surface to video (which needs ffmpeg). All decoders return HxWx3
+# uint8 RGB.
 
-IMAGE_CODECS = {"bmp", "ppm", "png"}
+IMAGE_CODECS = {"bmp", "ppm", "png", "jpeg"}
 
 _BMP_FILE_HEADER = 14
 _BMP_INFO_HEADER = 40
@@ -193,6 +194,10 @@ def encode_image(img: np.ndarray, codec: str, png_filter: int = 0) -> bytes:
     h, w, _ = img.shape
     if codec == "png":
         return _encode_png(img, png_filter)
+    if codec == "jpeg":
+        from . import jpeg as _jpeg
+
+        return _jpeg.encode_jpeg(img)
     if codec == "bmp":
         stride = (3 * w + 3) // 4 * 4
         rows = np.zeros((h, stride), dtype=np.uint8)
@@ -223,6 +228,10 @@ def decode_image(raw: bytes, codec: str) -> np.ndarray:
         return _decode_ppm(raw)
     if codec == "png":
         return _decode_png(raw)
+    if codec == "jpeg":
+        from . import jpeg as _jpeg
+
+        return _jpeg.decode_jpeg(raw)
     raise UnsupportedCodec(codec)
 
 

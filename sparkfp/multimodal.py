@@ -87,13 +87,14 @@ def byte_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
 def decode_media(raw: bytes, codec: str, deterministic_fake: bool = False) -> np.ndarray:
     """Decode a media blob to a numpy array.
 
-    Audio codecs (pcm/ulaw) and library-free image codecs (bmp/ppm/png
-    — PNG via stdlib zlib + numpy unfiltering) decode for REAL.
-    Lossy/compressed codecs (jpeg/h264) raise UnsupportedCodec unless
+    Audio codecs (pcm/ulaw/alaw/wav) and library-free image codecs
+    (bmp/ppm/png/jpeg — PNG via stdlib zlib + numpy unfiltering,
+    baseline JPEG via pure-numpy huffman + IDCT in sparkfp/jpeg.py)
+    decode for REAL. Video codecs (h264) raise UnsupportedCodec unless
     ``deterministic_fake=True``, which returns a seeded fake frame so
     downstream plumbing (resize, feature UDF shapes, batch
     partitioning) is testable without decoder libraries. STUB: swap in
-    Pillow/ffmpeg for those on a real cluster.
+    ffmpeg for video on a real cluster.
     """
     from . import codec as _codec
 

@@ -220,3 +220,94 @@ def test_png_error_paths():
         )
     with pytest.raises(ValueError):
         codec.encode_image(img, "png", png_filter=9)
+
+
+# ---------------------------------------------------------------- jpeg
+
+
+def test_jpeg_roundtrip_psnr_all_modes():
+    """Baseline JPEG encode->decode at several quality/subsampling/
+    restart settings; PSNR floors chosen to catch structural bugs
+    (a broken IDCT/huffman path craters PSNR), not codec tuning."""
+    from sparkfp import jpeg
+
+    yy, xx = np.mgrid[0:50, 0:37]
+    img = np.stack(
+        [(xx * 6) % 256, (yy * 4) % 256,
+         128 + 100 * np.sin(xx / 5.0) * np.cos(yy / 7.0)],
+        axis=2,
+    ).astype(np.uint8)
+    for q, sub, rst, floor in [
+        (95, False, 0, 44.0),
+        (90, False, 0, 42.0),
+        (75, True, 0, 31.0),
+        (90, False, 4, 42.0),   # restart markers every 4 MCUs
+        (85, True, 3, 32.0),    # 4:2:0 + restarts
+    ]:
+        raw = jpeg.encode_jpeg(img, quality=q, subsample=sub, restart_interval=rst)
+        out = jpeg.decode_jpeg(raw)
+        assert out.shape == img.shape
+        assert jpeg.psnr(img, out) >= floor, (q, sub, rst)
+    # uniform color survives exactly (DC-only blocks)
+    flat = np.full((16, 24, 3), 77, np.uint8)
+    assert np.array_equal(jpeg.decode_jpeg(jpeg.encode_jpeg(flat)), flat)
+    # grayscale single-component stream -> replicated channels
+    g = ((xx + yy) * 3 % 256).astype(np.uint8)
+    outg = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=92))
+    assert outg.shape == (50, 37, 3)
+    assert np.array_equal(outg[:, :, 0], outg[:, :, 1])
+    assert jpeg.psnr(np.repeat(g[:, :, None], 3, 2), outg) >= 50.0
+
+
+def test_jpeg_spec_tables_and_transform():
+    """The decoder's fixed machinery against the public spec directly:
+    zigzag is the T.81 sequence, the DCT basis is orthonormal (IDCT
+    inverts DCT to float precision), huffman codes are prefix-free,
+    and amplitude EXTEND matches the spec's two-sided mapping."""
+    from sparkfp import jpeg
+
+    # zigzag: walking the 8x8 grid anti-diagonally
+    exp = []
+    for s in range(15):
+        ks = range(max(0, s - 7), min(s, 7) + 1)
+        diag = [(k, s - k) for k in ks]
+        if s % 2 == 0:
+            diag = diag[::-1]
+        exp.extend(r * 8 + c for r, c in diag)
+    assert list(jpeg.ZIGZAG) == exp
+    d = jpeg._dct_matrix()
+    assert np.allclose(d @ d.T, np.eye(8), atol=1e-12)  # orthonormal
+    rng = np.random.default_rng(0)
+    blk = rng.standard_normal((8, 8))
+    assert np.allclose(d.T @ (d @ blk @ d.T) @ d, blk, atol=1e-9)
+    # canonical codes from the standard AC luma table are prefix-free
+    codes = jpeg._canonical_codes(*jpeg._AC_LUMA)
+    as_str = {format(c, f"0{n}b") for c, n in codes.values()}
+    assert len(as_str) == len(codes)
+    for a in as_str:
+        for b in as_str:
+            assert a == b or not b.startswith(a) or len(b) == len(a)
+    # EXTEND: cat=3 receives 0..7 -> -7..-4, 4..7 (T.81 table F.1)
+    got = [jpeg._extend(v, 3) for v in range(8)]
+    assert got == [-7, -6, -5, -4, 4, 5, 6, 7]
+
+
+def test_jpeg_error_paths_and_dispatch():
+    from sparkfp import jpeg
+
+    img = _img(10, 9)
+    raw = jpeg.encode_jpeg(img, quality=90)
+    # codec.decode_image dispatch treats jpeg as a REAL image codec
+    assert np.array_equal(codec.decode_image(raw, "jpeg"), jpeg.decode_jpeg(raw))
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"\x00\x01" * 40)  # no SOI
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(raw[: len(raw) // 2])  # truncated entropy data
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"\xff\xd8 marker sync broken")
+    prog = bytearray(raw)
+    prog[raw.find(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(codec.UnsupportedCodec):  # progressive gated
+        jpeg.decode_jpeg(bytes(prog))
+    with pytest.raises(ValueError):
+        jpeg.encode_jpeg(img, quality=0)

@@ -386,7 +386,7 @@ def test_winnow_fingerprints_match_python(spark, docs):
 
 def test_byte_features_and_frame_stub(spark):
     rows = [
-        ("m1", bytes(range(256)), "image", "jpeg", None, None, None),
+        ("m1", bytes(range(256)), "video", "h264", None, None, None),
         ("m2", b"\x00" * 100, "image", "png", None, None, None),
         ("m3", np.arange(50, dtype="<i2").tobytes(), "audio", "pcm_s16le",
          None, None, 50),
@@ -399,7 +399,8 @@ def test_byte_features_and_frame_stub(spark):
 
     ff = multimodal.frame_sample_features(media).toPandas().set_index("media_id")
     assert ff.loc["m3", "decoded"]  # real audio decode
-    assert ff.loc["m1", "decoded"]  # deterministic fake for image
+    assert ff.loc["m1", "decoded"]  # deterministic fake for video
+    assert not ff.loc["m2", "decoded"]  # garbage png: real decoder rejects
     ff2 = multimodal.frame_sample_features(
         media, deterministic_fake=False
     ).toPandas().set_index("media_id")
@@ -414,7 +415,7 @@ def test_frame_features_real_bmp_decode(spark):
     ids = [f"bmp_{i:02d}" for i in range(3)]
     rows = [
         (i, synth.image_bytes(i, "bmp"), "image", "bmp", 17, 24, None) for i in ids
-    ] + [("j0", b"\xff\xd8 not decodable here", "image", "jpeg", None, None, None)]
+    ] + [("j0", b"\xff\xd8 not a real jpeg", "image", "jpeg", None, None, None)]
     media = spark.createDataFrame(rows, multimodal.MEDIA)
     ff = (
         multimodal.frame_sample_features(media, deterministic_fake=False)
@@ -426,7 +427,7 @@ def test_frame_features_real_bmp_decode(spark):
         assert ff.loc[i, "decoded"]
         assert ff.loc[i, "frame_mean"] == pytest.approx(px.mean(), abs=1e-12)
         assert ff.loc[i, "frame_std"] == pytest.approx(px.std(), abs=1e-12)
-    assert not ff.loc["j0", "decoded"]  # compressed codecs stay gated
+    assert not ff.loc["j0", "decoded"]  # malformed jpeg rejected by the real decoder
 
 
 def test_frame_features_corrupt_image_rows_survive(spark):

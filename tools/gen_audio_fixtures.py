@@ -111,8 +111,10 @@ def frame_feature_inputs(track_ids: list[str]) -> list[tuple[str, bytes, str]]:
          synth.clip_row(f"{cname}_00", track_ids, codec_name=cname)[1], cname)
         for cname in ("alaw", "wav")
     ]
+    # h264 = the remaining deterministic-fake boundary (video); jpeg
+    # decodes for real now and is pytest-gated instead
     items += [
-        (f"img_{i:02d}", hashlib.md5(b"img%d" % i).digest() * 64, "jpeg")
+        (f"img_{i:02d}", hashlib.md5(b"img%d" % i).digest() * 64, "h264")
         for i in range(N_FRAME_IMAGES)
     ]
     # real BMP/PNG rows: bytes come from the shared synth generator
