@@ -1,0 +1,114 @@
+"""Property-based codec invariants (hypothesis).
+
+The example-based tests in test_codec.py pin known values; these sweep
+randomized shapes/contents for the structural invariants that must hold
+for EVERY input: lossless codecs round-trip exactly, companded audio
+round-trips within its SNR envelope, and every decoder either returns a
+well-formed array or raises ValueError/UnsupportedCodec — never
+anything else (the multimodal layer depends on that error contract,
+sparkfp/multimodal.py frame_sample_features)."""
+
+import numpy as np
+import pytest
+
+hyp = pytest.importorskip("hypothesis")
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from sparkfp import codec  # noqa: E402
+
+
+@st.composite
+def images(draw, max_h=21, max_w=23):
+    h = draw(st.integers(1, max_h))
+    w = draw(st.integers(1, max_w))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    kind = draw(st.sampled_from(["noise", "flat", "gradient"]))
+    if kind == "noise":
+        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    if kind == "flat":
+        return np.full((h, w, 3), draw(st.integers(0, 255)), dtype=np.uint8)
+    gy = np.arange(h, dtype=np.int64)[:, None, None]
+    gx = np.arange(w, dtype=np.int64)[None, :, None]
+    return ((gy * draw(st.integers(0, 9)) + gx * draw(st.integers(0, 9)))
+            % 256).astype(np.uint8) + np.zeros((h, w, 3), np.uint8)
+
+
+@settings(max_examples=40, deadline=None)
+@given(images(), st.sampled_from(["bmp", "ppm"]),)
+def test_lossless_image_roundtrip_exact(img, image_codec):
+    out = codec.decode_image(codec.encode_image(img, image_codec), image_codec)
+    assert np.array_equal(out, img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(images(), st.integers(0, 4))
+def test_png_roundtrip_exact_property(img, f):
+    out = codec.decode_image(
+        codec.encode_image(img, "png", png_filter=f), "png"
+    )
+    assert np.array_equal(out, img)
+
+
+@settings(max_examples=15, deadline=None)
+@given(images(max_h=40, max_w=40), st.integers(70, 95), st.booleans())
+def test_jpeg_roundtrip_shape_and_bounded_error(img, quality, subsample):
+    from sparkfp import jpeg
+
+    out = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(img, quality=quality, subsample=subsample)
+    )
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # flat images survive near-exactly at any quality; others are lossy
+    # but must stay within the 8x8-block worst case for valid streams
+    if (img == img.reshape(-1, 3)[0]).all():
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+@st.composite
+def pcm_signals(draw):
+    n = draw(st.integers(1, 4000))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    amp = draw(st.floats(0.05, 0.95))
+    return np.clip(
+        amp * np.sin(np.linspace(0, 40, n))
+        + 0.02 * rng.standard_normal(n),
+        -1, 1,
+    ).astype(np.float32)
+
+
+@settings(max_examples=40, deadline=None)
+@given(pcm_signals(), st.sampled_from(["pcm_s16le", "ulaw", "alaw", "wav"]))
+def test_audio_roundtrip_meets_snr_contract(pcm, name):
+    out = codec.decode(codec.encode(pcm, name), name)
+    assert len(out) == len(pcm)
+    # input_hint contract: decoded PCM matches ground truth at >=30 dB;
+    # trivially-quiet signals are excluded (SNR undefined near silence)
+    if float(np.mean(pcm.astype(np.float64) ** 2)) > 1e-4:
+        assert codec.snr_db(pcm, out) >= 30.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=300),
+       st.sampled_from(["bmp", "ppm", "png", "jpeg"]))
+def test_image_decoders_never_crash_with_foreign_errors(raw, image_codec):
+    """Fuzz: arbitrary bytes either decode (vacuously rare) or raise
+    exactly ValueError/UnsupportedCodec — the per-row error contract
+    the Spark media path catches."""
+    try:
+        out = codec.decode_image(raw, image_codec)
+        assert out.ndim == 3 and out.shape[2] == 3
+    except (ValueError, codec.UnsupportedCodec):
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=300),
+       st.sampled_from(["pcm_s16le", "ulaw", "alaw", "wav"]))
+def test_audio_decoders_never_crash_with_foreign_errors(raw, name):
+    try:
+        out = codec.decode(raw, name)
+        assert out.dtype == np.float32
+    except (ValueError, codec.UnsupportedCodec):
+        pass
