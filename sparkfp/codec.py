@@ -157,6 +157,11 @@ def _decode_wav(raw: bytes) -> np.ndarray:
         pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing WAV fmt/data chunk")
+    if len(fmt) < 16:
+        # an honestly-declared short fmt chunk passes the truncation
+        # check above but would raise struct.error here — keep the
+        # ValueError contract the media path catches per-row
+        raise ValueError(f"short WAV fmt chunk ({len(fmt)} bytes)")
     tag, nch, _sr, _bps_avg, _block, bits = struct.unpack_from("<HHIIHH", fmt, 0)
     if tag != 1 or bits != 16:
         raise UnsupportedCodec(f"wav format tag {tag} / {bits}-bit")

@@ -426,7 +426,23 @@ def encode_jpeg(
 
 
 def decode_jpeg(raw: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> HxWx3 uint8 RGB (gray replicated)."""
+    """Baseline JFIF bytes -> HxWx3 uint8 RGB (gray replicated).
+
+    Error contract: malformed streams raise ValueError, unsupported
+    (but valid) streams raise UnsupportedCodec — never struct.error or
+    IndexError. Truncated segment bodies (a short SOF, an empty DHT,
+    a bare SOS) hit struct.unpack_from / list indexing inside the
+    marker walk; the blanket re-raise below converts every such escape
+    so one corrupt row surfaces as decoded=false instead of failing
+    the whole Spark task (sparkfp/multimodal.py frame_sample_features).
+    """
+    try:
+        return _decode_jpeg(raw)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed JPEG stream: {e}") from e
+
+
+def _decode_jpeg(raw: bytes) -> np.ndarray:
     if len(raw) < 4 or raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG file (no SOI)")
     pos = 2

@@ -112,3 +112,51 @@ def test_audio_decoders_never_crash_with_foreign_errors(raw, name):
         assert out.dtype == np.float32
     except (ValueError, codec.UnsupportedCodec):
         pass
+
+
+# ---- example-based regressions for contract escapes the 300-byte ----
+# fuzz could not reach (advisor round 5): structurally-valid marker
+# walks whose segment BODIES are truncated used to leak struct.error /
+# IndexError through the (ValueError, UnsupportedCodec) catch in
+# multimodal.frame_sample_features, failing the whole Spark task for
+# one corrupt row.
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    import struct
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+@pytest.mark.parametrize(
+    "raw",
+    [
+        b"\xff\xd8\xff\xc0\x00\x02",                      # SOF0, empty body
+        b"\xff\xd8\xff\xc0\x00\x04\x08\x00",              # SOF0, short body
+        b"\xff\xd8" + _seg(0xFFC4, b""),                  # empty DHT
+        b"\xff\xd8" + _seg(0xFFC4, b"\x00"),              # DHT w/o bits table
+        b"\xff\xd8" + _seg(0xFFDA, b""),                  # empty SOS
+        b"\xff\xd8" + _seg(0xFFDD, b""),                  # empty DRI
+        b"\xff\xd8" + _seg(0xFFDB, b"\x00"),              # DQT w/o table
+    ],
+)
+def test_truncated_jpeg_segments_raise_valueerror(raw):
+    with pytest.raises((ValueError, codec.UnsupportedCodec)):
+        codec.decode_image(raw, "jpeg")
+
+
+def test_short_wav_fmt_chunk_raises_valueerror():
+    import struct
+
+    # fmt chunk honestly declares 4 bytes (< the 16 the struct needs)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+    body += b"data" + struct.pack("<I", 2) + b"\x00\x00"
+    raw = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError):
+        codec.decode(raw, "wav")
+
+
+def test_query_registry_within_driver_cap():
+    """The driver records at most 50 CORRECTNESS rows; the module-level
+    assert in __spark_entry__ must hold at import time."""
+    import __spark_entry__ as entry
+
+    assert len(entry.queries()) <= 50
