@@ -87,10 +87,11 @@ def byte_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
 def decode_media(raw: bytes, codec: str, deterministic_fake: bool = False) -> np.ndarray:
     """Decode a media blob to a numpy array.
 
-    Audio codecs (pcm/ulaw/alaw/wav) and library-free image codecs
+    Audio codecs (pcm/ulaw/alaw/wav), library-free image codecs
     (bmp/ppm/png/jpeg — PNG via stdlib zlib + numpy unfiltering,
-    baseline JPEG via pure-numpy huffman + IDCT in sparkfp/jpeg.py)
-    decode for REAL. Video codecs (h264) raise UnsupportedCodec unless
+    baseline JPEG via pure-numpy huffman + IDCT in sparkfp/jpeg.py),
+    and MJPEG video (AVI/raw container walk + per-frame JPEG decode,
+    sparkfp/video.py) decode for REAL. h264 raises UnsupportedCodec unless
     ``deterministic_fake=True``, which returns a seeded fake frame so
     downstream plumbing (resize, feature UDF shapes, batch
     partitioning) is testable without decoder libraries. STUB: swap in
@@ -102,6 +103,12 @@ def decode_media(raw: bytes, codec: str, deterministic_fake: bool = False) -> np
         return _codec.decode(raw, codec)
     if codec in _codec.IMAGE_CODECS:
         return _codec.decode_image(raw, codec)
+    if codec == "mjpeg":
+        # REAL video decode: AVI/raw Motion-JPEG via the pure-numpy
+        # JPEG decoder (sparkfp/video.py) -> (T,H,W,3) frames
+        from . import video as _video
+
+        return _video.decode_mjpeg(raw)
     if deterministic_fake:
         h = np.frombuffer(raw[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
         # key dtype explicit: list-of-mixed-ints promotes to float64 and

@@ -299,3 +299,44 @@ def image_bytes(
     return codec.encode_image(
         image_pixels(image_id, **kw), image_codec, png_filter=png_filter
     )
+
+
+def video_frames(
+    video_id: str, n_frames: int = 3, h: int = 24, w: int = 17, seed: int = 42
+) -> np.ndarray:
+    """Deterministic (T,H,W,3) uint8 frames: per-frame noise keyed on
+    (video_id, frame index) plus a moving bright bar so consecutive
+    frames differ in a structured way (temporal variation is what a
+    video fixture must exercise that a single image cannot)."""
+    frames = np.stack(
+        [
+            _id_rng(seed, f"{video_id}:f{t}").integers(
+                0, 256, size=(h, w, 3), dtype=np.uint8
+            )
+            for t in range(n_frames)
+        ]
+    )
+    for t in range(n_frames):
+        frames[t, :, (3 * t) % w, :] = 255
+    return frames
+
+
+def mjpeg_bytes(
+    video_id: str,
+    n_frames: int = 3,
+    container: str = "avi",
+    quality: int = 90,
+    subsample: bool = False,
+    **kw,
+) -> bytes:
+    """Encoded deterministic MJPEG test video (input construction,
+    shared by the entry query and the fixture generator — the oracle
+    decodes it with its own scalar RIFF walk + scalar JPEG decoder)."""
+    from . import video as _video
+
+    return _video.encode_mjpeg(
+        video_frames(video_id, n_frames, **kw),
+        container=container,
+        quality=quality,
+        subsample=subsample,
+    )

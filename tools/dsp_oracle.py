@@ -409,6 +409,328 @@ def decode_png_pixels(raw: bytes) -> list[float]:
     return vals
 
 
+_JPEG_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16.0) for x in range(8)]
+    for u in range(8)
+]
+_JPEG_ALPHA = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _OracleJpegBits:
+    """Scalar entropy-segment bit source: byte-at-a-time unstuffing,
+    infinite 1-padding once a real marker is reached (T.81 scan end)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.p = pos
+        self.cur = 0
+        self.left = 0
+        self.at_marker = False
+
+    def next_bit(self) -> int:
+        if self.left == 0:
+            if self.at_marker:
+                return 1
+            if self.p >= len(self.d):
+                raise ValueError("oracle jpeg: truncated entropy stream")
+            b = self.d[self.p]
+            self.p += 1
+            if b == 0xFF:
+                nxt = self.d[self.p] if self.p < len(self.d) else None
+                if nxt == 0x00:
+                    self.p += 1
+                else:
+                    self.p -= 1
+                    self.at_marker = True
+                    return 1
+            self.cur, self.left = b, 8
+        self.left -= 1
+        return (self.cur >> self.left) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.next_bit()
+        return v
+
+    def read_code(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.next_bit()
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("oracle jpeg: invalid huffman code")
+
+    def sync_restart(self, idx: int) -> None:
+        self.left = 0
+        self.at_marker = False
+        p = self.p
+        while p + 1 < len(self.d) and not (
+            self.d[p] == 0xFF and self.d[p + 1] != 0x00
+        ):
+            p += 1
+        if p + 1 >= len(self.d) or self.d[p + 1] != 0xD0 + (idx % 8):
+            raise ValueError("oracle jpeg: missing restart marker")
+        self.p = p + 2
+
+
+def _jpeg_extend(v: int, n: int) -> int:
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def decode_jpeg_pixels(raw: bytes) -> list[float]:
+    """Independent scalar baseline-JPEG decode (ITU T.81, restated):
+    dict-lookup huffman ((length, code) -> symbol, vs the engine's
+    mincode/maxcode/valptr arrays), per-block direct 2-D IDCT from the
+    spec formula over a scalar cosine table (vs the engine's one-einsum
+    matrix IDCT over all blocks), pixel-sampled chroma upsampling (vs
+    np.repeat). Returns RGB values row-major as floats (gray
+    replicated), identical to the engine's uint8 output."""
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("oracle jpeg: no SOI")
+    i = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart = 0
+    scomp: dict[int, tuple[int, int]] = {}
+    data_start = None
+    while i + 4 <= len(raw):
+        if raw[i] != 0xFF:
+            raise ValueError("oracle jpeg: marker sync lost")
+        m = raw[i + 1]
+        if m == 0xD9:
+            break
+        if m == 0xFF:
+            i += 1
+            continue
+        if 0xD0 <= m <= 0xD7 or m == 0x01:
+            i += 2
+            continue
+        ln = int.from_bytes(raw[i + 2: i + 4], "big")
+        body = raw[i + 4: i + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("oracle jpeg: truncated segment")
+        if m == 0xDB:
+            j = 0
+            while j < len(body):
+                if body[j] >> 4 != 0:
+                    raise ValueError("oracle jpeg: 16-bit DQT unsupported")
+                tbl = [0] * 64
+                for k in range(64):
+                    tbl[_JPEG_ZIGZAG[k]] = body[j + 1 + k]
+                qt[body[j] & 0x0F] = tbl
+                j += 65
+        elif m == 0xC4:
+            j = 0
+            while j < len(body):
+                key = (body[j] >> 4, body[j] & 0x0F)
+                counts = list(body[j + 1: j + 17])
+                syms = list(body[j + 17: j + 17 + sum(counts)])
+                table, code, si = {}, 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = syms[si]
+                        si += 1
+                        code += 1
+                    code <<= 1
+                huff[key] = table
+                j += 17 + sum(counts)
+        elif m in (0xC0, 0xC1):
+            if body[0] != 8:
+                raise ValueError("oracle jpeg: only 8-bit precision")
+            fh = int.from_bytes(body[1:3], "big")
+            fw = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c: 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (fh, fw, comps)
+        elif m == 0xDD:
+            restart = int.from_bytes(body[:2], "big")
+        elif m == 0xDA:
+            ns = body[0]
+            for s in range(ns):
+                scomp[body[1 + 2 * s]] = (
+                    body[2 + 2 * s] >> 4,
+                    body[2 + 2 * s] & 0x0F,
+                )
+            data_start = i + 2 + ln
+            break
+        i += 2 + ln
+    if frame is None or data_start is None:
+        raise ValueError("oracle jpeg: missing SOF/SOS")
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+
+    # entropy decode: per-component dict of block -> 64 natural-order
+    # coefficients (dequantized as exact ints)
+    blocks: list[dict[tuple[int, int], list[int]]] = [{} for _ in comps]
+    bits = _OracleJpegBits(raw, data_start)
+    preds = [0] * len(comps)
+    rst = 0
+    for mcu in range(mcus_x * mcus_y):
+        if restart and mcu and mcu % restart == 0:
+            bits.sync_restart(rst)
+            rst += 1
+            preds = [0] * len(comps)
+        my, mx = mcu // mcus_x, mcu % mcus_x
+        for ci, (cid, hs, vs, tq) in enumerate(comps):
+            dc_tab = huff[(0, scomp[cid][0])]
+            ac_tab = huff[(1, scomp[cid][1])]
+            for by in range(vs):
+                for bx in range(hs):
+                    zz = [0] * 64
+                    cat = bits.read_code(dc_tab)
+                    preds[ci] += _jpeg_extend(bits.receive(cat), cat)
+                    zz[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        sym = bits.read_code(ac_tab)
+                        run, size = sym >> 4, sym & 0x0F
+                        if size == 0:
+                            if run == 15:
+                                k += 16
+                                continue
+                            break
+                        k += run
+                        if k > 63:
+                            raise ValueError("oracle jpeg: AC overflow")
+                        zz[k] = _jpeg_extend(bits.receive(size), size)
+                        k += 1
+                    nat = [0] * 64
+                    for k in range(64):
+                        nat[_JPEG_ZIGZAG[k]] = zz[k] * qt[tq][_JPEG_ZIGZAG[k]]
+                    blocks[ci][(my * vs + by, mx * hs + bx)] = nat
+
+    # per-component plane via the direct IDCT formula
+    planes: list[list[list[float]]] = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        ph, pw = mcus_y * vs * 8, mcus_x * hs * 8
+        plane = [[0.0] * pw for _ in range(ph)]
+        for (by, bx), nat in blocks[ci].items():
+            for y in range(8):
+                for x in range(8):
+                    acc = 0.0
+                    for u in range(8):
+                        for v in range(8):
+                            c = nat[8 * u + v]
+                            if c:
+                                acc += (
+                                    0.25
+                                    * _JPEG_ALPHA[u] * _JPEG_ALPHA[v]
+                                    * _JPEG_COS[u][y] * _JPEG_COS[v][x]
+                                    * c
+                                )
+                    plane[8 * by + y][8 * bx + x] = acc + 128.0
+        planes.append(plane)
+
+    def sample(ci: int, y: int, x: int) -> float:
+        _, hs, vs, _ = comps[ci]
+        return planes[ci][y // (vmax // vs)][x // (hmax // hs)]
+
+    def clip8(v: float) -> float:
+        # round-half-even then clamp, matching np.clip(np.round(...))
+        r = round(v)
+        return float(0 if r < 0 else (255 if r > 255 else r))
+
+    vals: list[float] = []
+    for y in range(fh):
+        for x in range(fw):
+            if len(comps) == 1:
+                g = clip8(sample(0, y, x))
+                vals.extend((g, g, g))
+            else:
+                yv = sample(0, y, x)
+                cb = sample(1, y, x) - 128.0
+                cr = sample(2, y, x) - 128.0
+                vals.append(clip8(yv + 1.402 * cr))
+                vals.append(clip8(yv - 0.344136 * cb - 0.714136 * cr))
+                vals.append(clip8(yv + 1.772 * cb))
+    return vals
+
+
+def _mjpeg_frame_list(raw: bytes) -> list[bytes]:
+    """Scalar MJPEG container walk: RIFF/AVI chunk scan collecting the
+    movi list's '##dc'/'##db' payloads, or SOI-to-EOI frame slicing of
+    a bare concatenated stream (marker-structure walk — a byte scan
+    for FFD9 would false-trigger inside segment payloads)."""
+    if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+        frames: list[bytes] = []
+        stack = [(12, len(raw), False)]
+        while stack:
+            pos, end, in_movi = stack.pop()
+            while pos + 8 <= end:
+                cc = raw[pos: pos + 4]
+                size = int.from_bytes(raw[pos + 4: pos + 8], "little")
+                if pos + 8 + size > end:
+                    raise ValueError("oracle mjpeg: truncated AVI chunk")
+                if cc == b"LIST":
+                    lt = raw[pos + 8: pos + 12]
+                    if lt == b"movi" or (in_movi and lt == b"rec "):
+                        stack.append((pos + 12, pos + 8 + size, True))
+                elif in_movi and cc[2:4] in (b"dc", b"db"):
+                    frames.append(raw[pos + 8: pos + 8 + size])
+                pos += 8 + size + (size % 2)
+        if not frames:
+            raise ValueError("oracle mjpeg: no frames in AVI")
+        return frames
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("oracle mjpeg: unknown container")
+    frames, start = [], 0
+    while start < len(raw):
+        p = start + 2
+        end = None
+        while p + 2 <= len(raw):
+            if raw[p] != 0xFF:
+                raise ValueError("oracle mjpeg: marker sync lost")
+            m = raw[p + 1]
+            if m == 0xD9:
+                end = p + 2
+                break
+            if m == 0xFF:
+                p += 1
+                continue
+            if 0xD0 <= m <= 0xD7 or m == 0x01:
+                p += 2
+                continue
+            ln = int.from_bytes(raw[p + 2: p + 4], "big")
+            p += 2 + ln
+            if m == 0xDA:
+                while p + 1 < len(raw) and (
+                    raw[p] != 0xFF
+                    or raw[p + 1] == 0x00
+                    or 0xD0 <= raw[p + 1] <= 0xD7
+                ):
+                    p += 1
+        if end is None:
+            raise ValueError("oracle mjpeg: truncated frame")
+        frames.append(raw[start:end])
+        start = end
+    return frames
+
+
+def decode_mjpeg_pixels(raw: bytes) -> list[float]:
+    """All RGB values of all MJPEG frames, frame-major — the same
+    value multiset the engine's (T,H,W,3) decode feeds its stats."""
+    vals: list[float] = []
+    for fb in _mjpeg_frame_list(raw):
+        vals.extend(decode_jpeg_pixels(fb))
+    return vals
+
+
 def frame_features(
     raw: bytes, codec_name: str
 ) -> tuple[float, float, bool]:
@@ -418,16 +740,20 @@ def frame_features(
     them); h264 (video — the one remaining fake boundary) follows the
     documented deterministic-fake spec (Philox keyed on the first 8
     payload bytes, 16x16x3 uint8) — the fake's *spec* is shared, its
-    surrounding code is not. jpeg decodes for real in the engine
-    (sparkfp/jpeg.py) but has no scalar twin here yet, so jpeg rows are
-    pytest-gated (round-trip PSNR + spec-table checks), not
-    fixture-gated."""
+    surrounding code is not. jpeg and mjpeg (AVI/raw Motion-JPEG)
+    decode via the oracle's scalar T.81 decoder (dict huffman + direct
+    per-block IDCT), a genuine second implementation against the
+    engine's vectorized einsum path."""
     if codec_name in ("pcm_s16le", "ulaw", "alaw", "wav"):
         vals = decode(raw, codec_name)
     elif codec_name == "bmp":
         vals = decode_bmp_pixels(raw)
     elif codec_name == "png":
         vals = decode_png_pixels(raw)
+    elif codec_name == "jpeg":
+        vals = decode_jpeg_pixels(raw)
+    elif codec_name == "mjpeg":
+        vals = decode_mjpeg_pixels(raw)
     elif codec_name == "h264":
         key = int.from_bytes(raw[:8].ljust(8, b"\0"), "little")
         # explicit uint64 dtype: a plain [int, 0] list detours through

@@ -30,7 +30,7 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import tools.dsp_oracle as orc  # noqa: E402
-from sparkfp import codec, synth  # noqa: E402  (input construction only)
+from sparkfp import codec, jpeg, synth  # noqa: E402  (input construction only)
 
 FIXTURE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures"
@@ -42,9 +42,11 @@ N_MATCH_CLIPS = 24
 N_LANDMARK_CLIPS = 16
 N_BYTE_CLIPS = 16
 N_FRAME_CLIPS = 8
-N_FRAME_IMAGES = 4
+N_FRAME_IMAGES = 2  # h264 fake-boundary rows (was 4; jpeg/mjpeg are real now)
 N_FRAME_BMPS = 4
 N_FRAME_PNGS = 4
+N_FRAME_JPEGS = 2
+N_FRAME_MJPEGS = 2
 
 
 def _clip(i: int, track_ids: list[str]) -> tuple:
@@ -111,11 +113,33 @@ def frame_feature_inputs(track_ids: list[str]) -> list[tuple[str, bytes, str]]:
          synth.clip_row(f"{cname}_00", track_ids, codec_name=cname)[1], cname)
         for cname in ("alaw", "wav")
     ]
-    # h264 = the remaining deterministic-fake boundary (video); jpeg
-    # decodes for real now and is pytest-gated instead
+    # h264 = the remaining deterministic-fake boundary (needs ffmpeg)
     items += [
         (f"img_{i:02d}", hashlib.md5(b"img%d" % i).digest() * 64, "h264")
         for i in range(N_FRAME_IMAGES)
+    ]
+    # real lossy rows: baseline JPEG (one 4:4:4, one 4:2:0) and MJPEG
+    # video (one AVI container, one raw concatenated stream) — the
+    # oracle decodes them with its own scalar T.81 decoder + container
+    # walk, so the lossy image AND video decode paths are fixture-gated
+    items += [
+        (f"jpg_{i:02d}",
+         synth.image_bytes(f"jpg_{i:02d}", "jpeg"),  # encode_image: 4:4:4
+         "jpeg")
+        for i in range(N_FRAME_JPEGS - 1)
+    ] + [
+        ("jpg_sub",
+         jpeg.encode_jpeg(
+             synth.image_pixels("jpg_sub"), quality=85, subsample=True
+         ),
+         "jpeg"),
+    ]
+    items += [
+        ("mjv_avi", synth.mjpeg_bytes("mjv_avi", n_frames=3), "mjpeg"),
+        ("mjv_raw",
+         synth.mjpeg_bytes("mjv_raw", n_frames=2, container="raw",
+                           subsample=True, quality=85),
+         "mjpeg"),
     ]
     # real BMP/PNG rows: bytes come from the shared synth generator
     # (input construction), but the oracle decodes them with its own
