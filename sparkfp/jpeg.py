@@ -1,21 +1,26 @@
-"""Baseline JPEG codec in pure numpy + stdlib (public ITU T.81 spec).
+"""JPEG codec in pure numpy + stdlib (public ITU T.81 spec).
 
-Sequential-DCT huffman JPEG is decodable with no external libraries:
+Huffman-coded DCT JPEG is decodable with no external libraries:
 marker walk, canonical-huffman entropy decode (the only scalar loop —
 per symbol, bounded by image size), then vectorized dequantization,
 8x8 IDCT (one einsum over all blocks), chroma upsampling and JFIF
 YCbCr->RGB. The encoder exists primarily so tests and fixtures can
 construct real JPEG bytes: 4:4:4 or 4:2:0, quality-scaled Annex-K
 quantization tables, standard huffman tables, optional restart
-markers. Round-trip is lossy by design — tests gate on PSNR, not
-equality.
+markers, and (progressive=True) an SOF2 spectral-selection +
+successive-approximation scan script that re-orders the same
+quantized coefficients, so progressive decode is pixel-identical to
+the sequential decode of the same image. Round-trip is lossy by
+design — tests gate on PSNR, not equality.
 
 Supported on decode: SOF0/SOF1 (baseline + extended sequential
-huffman), 8-bit, grayscale / 4:4:4 / 4:2:0 / any integer sampling
-ratio, restart intervals, multiple DQT/DHT segments. Rejected with
-UnsupportedCodec: progressive (SOF2), arithmetic coding, 12-bit.
-Malformed streams raise ValueError (the multimodal layer surfaces
-those rows as decoded=false, sparkfp/multimodal.py).
+huffman) and SOF2 (progressive huffman: DC/AC first + refinement
+scans, EOB runs, T.81 G.2), 8-bit, grayscale / 4:4:4 / 4:2:0 / any
+integer sampling ratio, restart intervals, multiple DQT/DHT segments.
+Rejected with UnsupportedCodec: arithmetic coding, lossless/
+hierarchical SOFs, 12-bit precision. Malformed streams raise
+ValueError (the multimodal layer surfaces those rows as
+decoded=false, sparkfp/multimodal.py).
 
 Reference anchor: the reference job treats media bytes as opaque until
 its decode boundary (src/flink_job/serialization.py:14-20); this makes
@@ -314,11 +319,17 @@ def encode_jpeg(
     quality: int = 90,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """HxWx3 uint8 RGB (or HxW grayscale) -> baseline JFIF bytes.
+    """HxWx3 uint8 RGB (or HxW grayscale) -> JFIF bytes.
 
     subsample=True emits 4:2:0 (2x2 box-mean chroma); otherwise 4:4:4.
-    restart_interval>0 emits DRI + RSTn markers every that many MCUs.
+    restart_interval>0 emits DRI + RSTn markers every that many MCUs
+    (sequential mode only). progressive=True emits SOF2 with a
+    standard spectral-selection + successive-approximation scan script
+    (DC Al=1 -> band splits -> refinement passes down to Al=0), which
+    re-orders the exact same quantized coefficients — so a progressive
+    encode decodes pixel-identically to the sequential encode.
     """
     img = np.asarray(img)
     gray = img.ndim == 2
@@ -355,6 +366,13 @@ def encode_jpeg(
         samp = [(1, 1)] * len(planes)
     qts = [qt0] + [qt1] * (len(planes) - 1)
     zz = [_plane_blocks(p, q) for p, q in zip(planes, qts)]
+
+    if progressive:
+        if restart_interval:
+            raise ValueError(
+                "progressive + restart_interval not supported by this encoder"
+            )
+        return _assemble_progressive(h, w, gray, samp, qt0, qt1, zz)
 
     dc_tabs = [_canonical_codes(*_DC_LUMA)] + [
         _canonical_codes(*_DC_CHROMA)
@@ -422,6 +440,244 @@ def encode_jpeg(
     return bytes(out)
 
 
+
+# ----------------------------------------------- progressive encoder
+
+# "Flat" huffman tables for progressive scans: every symbol present at
+# a fixed length (12 DC categories at 4 bits; all 256 AC run/size
+# symbols split 128@8 + 128@9 bits — Kraft sum 0.75 < 1, so the
+# canonical construction is valid). Deliberately non-optimal: they keep
+# the encoder simple while making EVERY progressive symbol — EOBn runs
+# of any length, ZRL, refinement codes — encodable, so the decoder's
+# general EOB-run and correction-bit paths get exercised by round-trip
+# tests rather than only by foreign files.
+_DC_FLAT = ([0, 0, 0, 12] + [0] * 12, list(range(12)))
+_AC_FLAT = ([0] * 7 + [128, 128] + [0] * 7, list(range(256)))
+
+# standard simple-progression scan scripts:
+# (component indices, Ss, Se, Ah, Al)
+_SCRIPT_COLOR = [
+    ([0, 1, 2], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([1], 1, 63, 0, 1),
+    ([2], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0, 1, 2], 0, 0, 1, 0),
+    ([0], 1, 63, 1, 0),
+    ([1], 1, 63, 1, 0),
+    ([2], 1, 63, 1, 0),
+]
+_SCRIPT_GRAY = [
+    ([0], 0, 0, 0, 1),
+    ([0], 1, 63, 0, 1),
+    ([0], 0, 0, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+
+
+def _shift_toward_zero(v: int, al: int) -> int:
+    """AC point transform (T.81 G.1.2.2): |v| >> Al with sign kept."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+class _EobState:
+    """Pending EOB run + the correction bits owed after its symbol
+    (the cross-block bit buffer of the AC refinement pass)."""
+
+    def __init__(self, bw: _BitWriter, ac: dict):
+        self.bw = bw
+        self.ac = ac
+        self.run = 0
+        self.bits: list[int] = []
+
+    def flush(self) -> None:
+        if self.run:
+            cat = self.run.bit_length() - 1
+            code, length = self.ac[cat << 4]
+            self.bw.write(code, length)
+            if cat:
+                self.bw.write(self.run - (1 << cat), cat)
+            self.run = 0
+        for b in self.bits:
+            self.bw.write(b, 1)
+        self.bits = []
+
+
+def _encode_scan_dc(bw, zz, scan_idx, samp, mcus_x, mcus_y, ah, al, dc_codes):
+    if ah == 0:
+        preds = [0] * len(zz)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in scan_idx:
+                    hs, vs = samp[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            v = int(zz[ci][my * vs + by, mx * hs + bx, 0]) >> al
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            cat = _cat(abs(diff))
+                            code, length = dc_codes[cat]
+                            bw.write(code, length)
+                            if cat:
+                                bw.write(
+                                    diff if diff >= 0 else diff + (1 << cat) - 1,
+                                    cat,
+                                )
+    else:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in scan_idx:
+                    hs, vs = samp[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            v = int(zz[ci][my * vs + by, mx * hs + bx, 0])
+                            bw.write((v >> al) & 1, 1)
+
+
+def _encode_scan_ac_first(bw, blocks, ss, se, al, ac_codes):
+    eob = _EobState(bw, ac_codes)
+    for blk in blocks:
+        vals = [_shift_toward_zero(int(blk[k]), al) for k in range(ss, se + 1)]
+        r = 0
+        for v in vals:
+            if v == 0:
+                r += 1
+                continue
+            eob.flush()
+            while r > 15:
+                code, length = ac_codes[0xF0]
+                bw.write(code, length)
+                r -= 16
+            c = _cat(abs(v))
+            code, length = ac_codes[(r << 4) | c]
+            bw.write(code, length)
+            bw.write(v if v >= 0 else v + (1 << c) - 1, c)
+            r = 0
+        if r:
+            eob.run += 1
+            if eob.run == 0x7FFF:
+                eob.flush()
+    eob.flush()
+
+
+def _encode_scan_ac_refine(bw, blocks, ss, se, al, ac_codes):
+    """T.81 G.1.2.3 encode side: newly-significant coefficients emit
+    run/1 symbols + a sign bit; already-nonzero coefficients passed
+    over contribute buffered correction bits; all-insignificant block
+    tails fold into a shared EOB run whose owed correction bits are
+    emitted right after the EOBn symbol."""
+    eob = _EobState(bw, ac_codes)
+    for blk in blocks:
+        mags = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        signs = [int(blk[k]) >= 0 for k in range(ss, se + 1)]
+        last_new = -1
+        for i, m in enumerate(mags):
+            if m == 1:
+                last_new = i
+        r = 0
+        br_bits: list[int] = []
+        for i, m in enumerate(mags):
+            if m == 0:
+                r += 1
+                continue
+            # Flush pending ZRLs BEFORE deciding correction-vs-new: an
+            # already-significant coefficient that sits after a >15-zero
+            # stretch must have its correction bit emitted after the ZRL
+            # covering that stretch, not buffered into it (the decoder's
+            # ZRL span covers exactly 16 zero-history coefficients).
+            while r > 15 and i <= last_new:
+                eob.flush()
+                code, length = ac_codes[0xF0]
+                bw.write(code, length)
+                r -= 16
+                for b in br_bits:
+                    bw.write(b, 1)
+                br_bits = []
+            if m > 1:  # already significant: correction bit, run unchanged
+                br_bits.append(m & 1)
+                continue
+            # newly significant (magnitude exactly 1 at this precision)
+            eob.flush()
+            code, length = ac_codes[(r << 4) | 1]
+            bw.write(code, length)
+            bw.write(1 if signs[i] else 0, 1)
+            for b in br_bits:
+                bw.write(b, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            eob.run += 1
+            eob.bits.extend(br_bits)
+            if eob.run == 0x7FFF or len(eob.bits) >= 930:
+                eob.flush()
+    eob.flush()
+
+
+def _ni_raster(zz_c, h, w, hs, vs, hmax, vmax):
+    """Blocks of one component in NON-interleaved scan order (the
+    component's own ceiling dims, T.81 A.2.2 — matching _ni_blocks on
+    the decode side)."""
+    comp_w = (w * hs + hmax - 1) // hmax
+    comp_h = (h * vs + vmax - 1) // vmax
+    nby, nbx = (comp_h + 7) // 8, (comp_w + 7) // 8
+    for by in range(nby):
+        for bx in range(nbx):
+            yield zz_c[by, bx]
+
+
+def _assemble_progressive(h, w, gray, samp, qt0, qt1, zz) -> bytes:
+    ncomp = 1 if gray else 3
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    dc_codes = _canonical_codes(*_DC_FLAT)
+    ac_codes = _canonical_codes(*_AC_FLAT)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(qt0.ravel()[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xFFDB, b"\x01" + bytes(qt1.ravel()[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    out += seg(0xFFC2, sof)  # SOF2: progressive DCT, huffman
+    for cls, tid, (bits, vals) in (
+        (0, 0, _DC_FLAT), (1, 0, _AC_FLAT), (1, 1, _AC_FLAT)
+    )[: 2 if gray else 3]:
+        out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    for scan_idx, ss, se, ah, al in (_SCRIPT_GRAY if gray else _SCRIPT_COLOR):
+        sos = bytes([len(scan_idx)])
+        for ci in scan_idx:
+            t = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, t])  # DC table 0; AC table 0/1
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, sos)
+        bw = _BitWriter()
+        if ss == 0:
+            _encode_scan_dc(
+                bw, zz, scan_idx, samp, mcus_x, mcus_y, ah, al, dc_codes
+            )
+        else:
+            ci = scan_idx[0]
+            hs, vs = samp[ci]
+            blocks = _ni_raster(zz[ci], h, w, hs, vs, hmax, vmax)
+            if ah == 0:
+                _encode_scan_ac_first(bw, blocks, ss, se, al, ac_codes)
+            else:
+                _encode_scan_ac_refine(bw, blocks, ss, se, al, ac_codes)
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------- decoder
 
 
@@ -448,9 +704,11 @@ def _decode_jpeg(raw: bytes) -> np.ndarray:
     pos = 2
     qts: dict[int, np.ndarray] = {}
     huffs: dict[tuple[int, int], _HuffDecoder] = {}
-    frame = None
+    frame = None       # (fh, fw, comps, progressive)
+    geom = None        # (hmax, vmax, mcus_x, mcus_y)
+    stores = None      # per-comp (blocks_y, blocks_x, 64) int32, zigzag order
     restart = 0
-    scan = None
+    saw_scan = False
     while pos + 4 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
@@ -487,94 +745,89 @@ def _decode_jpeg(raw: bytes) -> np.ndarray:
                 vals = list(body[i + 17: i + 17 + n])
                 huffs[(cls, tid)] = _HuffDecoder(bits, vals)
                 i += 17 + n
-        elif m in (0xFFC0, 0xFFC1):  # SOF0/SOF1 (huffman sequential)
+        elif m in (0xFFC0, 0xFFC1, 0xFFC2):  # SOF0/1 sequential, SOF2 progressive
+            if frame is not None:
+                raise ValueError("multiple JPEG SOF segments")
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise UnsupportedCodec(f"jpeg {prec}-bit precision")
+            if fh == 0 or fw == 0:
+                raise ValueError("bad JPEG dimensions")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci: 9 + 3 * ci]
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (fh, fw, comps)
-        elif m == 0xFFC2:
-            raise UnsupportedCodec("jpeg progressive (SOF2)")
+                hs, vs = hv >> 4, hv & 0x0F
+                if hs == 0 or vs == 0:
+                    raise ValueError("bad JPEG sampling factors")
+                comps.append((cid, hs, vs, tq))
+            frame = (fh, fw, comps, m == 0xFFC2)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+            geom = (hmax, vmax, mcus_x, mcus_y)
+            stores = [
+                np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int32)
+                for _, hs, vs, _ in comps
+            ]
         elif m in (0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7, 0xFFC9, 0xFFCA, 0xFFCB,
                    0xFFCD, 0xFFCE, 0xFFCF):
             raise UnsupportedCodec(f"jpeg SOF marker 0x{m:X}")
         elif m == 0xFFDD:  # DRI
             (restart,) = struct.unpack_from(">H", body, 0)
-        elif m == 0xFFDA:  # SOS — entropy data follows
+        elif m == 0xFFDA:  # SOS: decode one scan, then resume the walk
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = body[0]
-            smap = {}
+            if len(body) != 1 + 2 * ns + 3:
+                raise ValueError("bad JPEG SOS length")
+            scan_comps = []  # (index into comps, dc table id, ac table id)
             for si in range(ns):
                 cid, tt = body[1 + 2 * si], body[2 + 2 * si]
-                smap[cid] = (tt >> 4, tt & 0x0F)
-            scan = (smap, pos + 2 + ln)
-            break
+                idxs = [i for i, c in enumerate(frame[2]) if c[0] == cid]
+                if not idxs:
+                    raise ValueError(f"JPEG scan references component {cid}")
+                scan_comps.append((idxs[0], tt >> 4, tt & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns: 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not frame[3]:
+                # sequential scans always cover the full band at full
+                # precision regardless of the header fields
+                ss, se, ah, al = 0, 63, 0, 0
+            if not (0 <= ss <= se <= 63) or al > 13 or ah > 13:
+                raise ValueError("bad JPEG scan band/approximation")
+            if frame[3]:
+                # T.81 G.1.1.1 progression constraints (same checks
+                # libjpeg enforces): a DC scan covers exactly coeff 0,
+                # AC scans are single-component, and a refinement pass
+                # refines precisely one bit (Ah == Al+1).
+                if ss == 0 and se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                if ss > 0 and ns != 1:
+                    raise ValueError(
+                        "progressive AC scan must be non-interleaved"
+                    )
+                if ah != 0 and ah != al + 1:
+                    raise ValueError("bad JPEG successive approximation")
+            pos = _decode_scan(
+                raw, pos + 2 + ln, frame, geom, stores, huffs,
+                scan_comps, ss, se, ah, al, restart,
+            )
+            saw_scan = True
+            continue
         pos += 2 + ln
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("missing JPEG SOF/SOS")
-    fh, fw, comps = frame
-    if fh == 0 or fw == 0:
-        raise ValueError("bad JPEG dimensions")
-    smap, data_pos = scan
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+    fh, fw, comps, _prog = frame
+    hmax, vmax, _, _ = geom
 
-    # per-component coefficient stores (blocks_y, blocks_x, 8, 8)
-    stores = []
-    for cid, hs, vs, tq in comps:
-        stores.append(
-            np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.float64)
-        )
-    br = _BitReader(raw, data_pos)
-    preds = [0] * len(comps)
-    rst_idx = 0
-    for mcu in range(mcus_x * mcus_y):
-        if restart and mcu and mcu % restart == 0:
-            br.align_and_expect_rst(rst_idx)
-            rst_idx += 1
-            preds = [0] * len(comps)
-        my, mx = divmod(mcu, mcus_x)
-        for ci, (cid, hs, vs, tq) in enumerate(comps):
-            if cid not in smap:
-                raise ValueError(f"JPEG scan missing component {cid}")
-            dc = huffs.get((0, smap[cid][0]))
-            ac = huffs.get((1, smap[cid][1]))
-            if dc is None or ac is None:
-                raise ValueError("JPEG scan references undefined huffman table")
-            for by in range(vs):
-                for bx in range(hs):
-                    zzvals = np.zeros(64, dtype=np.float64)
-                    cat = dc.decode(br)
-                    if cat > 11:
-                        raise ValueError("bad JPEG DC category")
-                    preds[ci] += _extend(br.receive(cat), cat)
-                    zzvals[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        sym = ac.decode(br)
-                        run, size = sym >> 4, sym & 0x0F
-                        if size == 0:
-                            if run == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += run
-                        if k > 63:
-                            raise ValueError("JPEG AC run overflow")
-                        zzvals[k] = _extend(br.receive(size), size)
-                        k += 1
-                    stores[ci][my * vs + by, mx * hs + bx] = zzvals
     # dequantize + IDCT, vectorized per component
     d = _dct_matrix()
     planes = []
     for ci, (cid, hs, vs, tq) in enumerate(comps):
         if tq not in qts:
             raise ValueError(f"JPEG component references missing DQT {tq}")
-        nat = np.zeros_like(stores[ci])
+        nat = np.zeros(stores[ci].shape, dtype=np.float64)
         nat[:, :, ZIGZAG] = stores[ci]
         coef = nat.reshape(nat.shape[0], nat.shape[1], 8, 8) * qts[tq][None, None]
         blocks = np.einsum("xu,nmuv,yv->nmxy", d.T, coef, d.T) + 128.0
@@ -598,6 +851,177 @@ def _decode_jpeg(raw: bytes) -> np.ndarray:
     return np.ascontiguousarray(
         np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     )
+
+
+def _ni_blocks(frame, geom, ci: int) -> tuple[int, int]:
+    """Block grid of component `ci` in a NON-interleaved scan: derived
+    from the component's own ceiling dimensions (T.81 A.2.2), which can
+    be smaller than its slice of the padded MCU grid."""
+    fh, fw, comps, _ = frame
+    hmax, vmax, _, _ = geom
+    _, hs, vs, _ = comps[ci]
+    comp_w = (fw * hs + hmax - 1) // hmax
+    comp_h = (fh * vs + vmax - 1) // vmax
+    return (comp_h + 7) // 8, (comp_w + 7) // 8
+
+
+def _decode_scan(
+    raw, data_pos, frame, geom, stores, huffs,
+    scan_comps, ss, se, ah, al, restart,
+) -> int:
+    """Entropy-decode one scan (sequential or any of the four
+    progressive scan kinds) into the coefficient stores; returns the
+    stream position of the next marker.
+
+    Scan kinds (T.81 G.2): DC first (ss=0, ah=0; sequential scans also
+    decode the AC band 1..63 in the same block visit), DC refinement
+    (ss=0, ah>0: one appended bit per block), AC first (ss>=1, ah=0:
+    band coefficients at point transform `al`, EOB-run coded), AC
+    refinement (ss>=1, ah>0: one new-significance/correction pass).
+    """
+    _, _, comps, progressive = frame
+    hmax, vmax, mcus_x, mcus_y = geom
+    br = _BitReader(raw, data_pos)
+    preds = [0] * len(comps)
+    eobrun = 0
+    interleaved = len(scan_comps) > 1
+
+    def check_tables() -> list[tuple[int, _HuffDecoder | None, _HuffDecoder | None]]:
+        out = []
+        for ci, dct, act in scan_comps:
+            dc = huffs.get((0, dct))
+            ac = huffs.get((1, act))
+            if ss == 0 and ah == 0 and dc is None:
+                raise ValueError("JPEG scan references undefined DC table")
+            if se >= 1 and ah == 0 and ac is None:
+                raise ValueError("JPEG scan references undefined AC table")
+            if se >= 1 and ah > 0 and ac is None:
+                raise ValueError("JPEG scan references undefined AC table")
+            out.append((ci, dc, ac))
+        return out
+
+    tabs = check_tables()
+
+    def decode_block(ci: int, by: int, bx: int, dc, ac) -> None:
+        nonlocal eobrun
+        blk = stores[ci][by, bx]
+        if ss == 0:
+            if ah == 0:
+                cat = dc.decode(br)
+                if cat > 11:
+                    raise ValueError("bad JPEG DC category")
+                preds[ci] += _extend(br.receive(cat), cat)
+                blk[0] = preds[ci] << al
+            elif br.bit():
+                blk[0] |= 1 << al
+        if se == 0:
+            return
+        k = max(ss, 1)
+        if ah == 0:  # AC first pass (or the AC half of a sequential scan)
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            while k <= se:
+                sym = ac.decode(br)
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += br.receive(run)
+                    break
+                k += run
+                if k > se:
+                    raise ValueError("JPEG AC run overflow")
+                blk[k] = _extend(br.receive(size), size) << al
+                k += 1
+            return
+        # AC refinement pass (T.81 G.1.2.3 decode side)
+        p1, m1 = 1 << al, -(1 << al)
+
+        def correct(kk: int) -> None:
+            if br.bit() and (blk[kk] & p1) == 0:
+                blk[kk] += p1 if blk[kk] >= 0 else m1
+
+        if eobrun == 0:
+            while k <= se:
+                sym = ac.decode(br)
+                run, size = sym >> 4, sym & 0x0F
+                newval = 0
+                if size:
+                    if size != 1:
+                        raise ValueError("bad JPEG refinement size")
+                    newval = p1 if br.bit() else m1
+                elif run != 15:
+                    # EOBRUN counts blocks INCLUDING this one: the
+                    # current block still owes correction bits for its
+                    # remaining nonzero coefficients (handled by the
+                    # eobrun tail below, which then decrements)
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += br.receive(run)
+                    break
+                # advance over `run` zero-history coefficients,
+                # appending correction bits to nonzero ones passed
+                while k <= se:
+                    if blk[k] != 0:
+                        correct(k)
+                    else:
+                        run -= 1
+                        if run < 0:
+                            break
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError("JPEG refinement overflow")
+                    blk[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                k += 1
+            eobrun -= 1
+
+    rst_idx = 0
+    if interleaved:
+        for mcu in range(mcus_x * mcus_y):
+            if restart and mcu and mcu % restart == 0:
+                br.align_and_expect_rst(rst_idx)
+                rst_idx += 1
+                preds = [0] * len(comps)
+                eobrun = 0
+            my, mx = divmod(mcu, mcus_x)
+            for ci, dc, ac in tabs:
+                _, hs, vs, _ = comps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        decode_block(ci, my * vs + by, mx * hs + bx, dc, ac)
+    else:
+        ci, dc, ac = tabs[0]
+        nby, nbx = _ni_blocks(frame, geom, ci)
+        for unit in range(nby * nbx):
+            if restart and unit and unit % restart == 0:
+                br.align_and_expect_rst(rst_idx)
+                rst_idx += 1
+                preds = [0] * len(comps)
+                eobrun = 0
+            decode_block(ci, unit // nbx, unit % nbx, dc, ac)
+
+    # resume the marker walk at the next true marker
+    p = br.pos
+    while p + 1 < len(raw) and not (
+        raw[p] == 0xFF
+        and raw[p + 1] != 0x00
+        and not 0xD0 <= raw[p + 1] <= 0xD7
+    ):
+        p += 1
+    if p + 1 >= len(raw):
+        raise ValueError("JPEG stream ends inside entropy data")
+    return p
+
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

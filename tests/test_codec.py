@@ -305,9 +305,81 @@ def test_jpeg_error_paths_and_dispatch():
         jpeg.decode_jpeg(raw[: len(raw) // 2])  # truncated entropy data
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(b"\xff\xd8 marker sync broken")
+    # a sequential stream relabeled SOF2 is malformed progressive: its
+    # interleaved Ss=0/Se=63 scan violates T.81 G.1.1.1 (DC scan must
+    # have Se=0), so the strict scan-script check rejects it
     prog = bytearray(raw)
     prog[raw.find(b"\xff\xc0") + 1] = 0xC2
-    with pytest.raises(codec.UnsupportedCodec):  # progressive gated
+    with pytest.raises(ValueError):
         jpeg.decode_jpeg(bytes(prog))
     with pytest.raises(ValueError):
         jpeg.encode_jpeg(img, quality=0)
+
+
+# ----------------------------------------------------- progressive jpeg
+
+
+def test_jpeg_progressive_decodes_identical_to_sequential():
+    """progressive=True re-orders the SAME quantized coefficients into
+    an SOF2 scan script (DC first/refine, AC band splits, successive
+    approximation), so the decode must be pixel-identical to the
+    sequential encode's decode — across color/gray, 4:2:0, and
+    non-MCU-aligned dims (partial edge blocks exercise the
+    non-interleaved component-ceiling grid of T.81 A.2.2)."""
+    from sparkfp import jpeg
+
+    rng = np.random.Generator(np.random.Philox(key=[11, 0]))
+    cases = [
+        (16, 16, False, False),  # MCU-aligned 4:4:4
+        (17, 23, False, False),  # partial edge blocks
+        (17, 23, False, True),   # 4:2:0 with partial blocks
+        (40, 24, False, True),   # 4:2:0 aligned
+        (13, 9, True, False),    # grayscale, partial blocks
+        (1, 1, False, False),    # degenerate single pixel
+    ]
+    for h, w, gray, sub in cases:
+        shape = (h, w) if gray else (h, w, 3)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        seq = jpeg.encode_jpeg(img, quality=85, subsample=sub)
+        prog = jpeg.encode_jpeg(img, quality=85, subsample=sub, progressive=True)
+        # really SOF2 on the wire
+        assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog
+        a, b = jpeg.decode_jpeg(seq), jpeg.decode_jpeg(prog)
+        assert np.array_equal(a, b), (h, w, gray, sub)
+
+
+def test_jpeg_progressive_roundtrip_psnr():
+    """Progressive is still lossy JPEG: PSNR against the source image
+    gates the full pipeline (DCT -> quant -> scan script -> decode)."""
+    from sparkfp import jpeg
+
+    img = _img(33, 29, seed=5)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=92, progressive=True))
+    assert jpeg.psnr(img, out) >= 28.0
+    flat = np.full((24, 24, 3), 130, dtype=np.uint8)
+    assert np.array_equal(
+        jpeg.decode_jpeg(jpeg.encode_jpeg(flat, progressive=True)), flat
+    )
+
+
+def test_jpeg_progressive_error_paths():
+    from sparkfp import codec, jpeg
+
+    img = _img(19, 21)
+    raw = jpeg.encode_jpeg(img, quality=80, progressive=True)
+    # truncating inside a late refinement scan is malformed, not a crash
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(raw[: int(len(raw) * 0.9)])
+    with pytest.raises(ValueError):
+        jpeg.encode_jpeg(img, progressive=True, restart_interval=4)
+    # scan-script strictness: corrupt an SOS header's Se byte so a DC
+    # scan claims a band (T.81 G.1.1.1 violation)
+    sos = raw.find(b"\xff\xda")
+    assert sos > 0
+    (ln,) = np.frombuffer(raw[sos + 2 : sos + 4], dtype=">u2")
+    bad = bytearray(raw)
+    bad[sos + 2 + int(ln) - 2] = 63  # Se of the first (DC) scan
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(bytes(bad))
+    # progressive jpeg flows through the public image dispatch too
+    assert np.array_equal(codec.decode_image(raw, "jpeg"), jpeg.decode_jpeg(raw))

@@ -486,23 +486,173 @@ def _jpeg_extend(v: int, n: int) -> int:
     return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
 
 
+def _oracle_decode_scan(
+    raw, pos, frame, hmax, vmax, mcus_x, mcus_y,
+    blocks, huff, scan, ss, se, ah, al, restart,
+) -> int:
+    """Scalar entropy decode of one scan (sequential, or any of the
+    four progressive kinds of T.81 G.2) into the per-component block
+    dicts; returns the position of the next marker."""
+    fh, fw, comps = frame
+    bits = _OracleJpegBits(raw, pos)
+    preds = [0] * len(comps)
+    state = {"eobrun": 0}
+    p1 = 1 << al
+
+    def get_block(ci, by, bx):
+        blk = blocks[ci].get((by, bx))
+        if blk is None:
+            blk = [0] * 64
+            blocks[ci][(by, bx)] = blk
+        return blk
+
+    def correct(blk, k):
+        # append one successive-approximation bit to an already-nonzero
+        # coefficient (two's-complement bit test like the engine/libjpeg;
+        # equal to the magnitude test on every valid stream)
+        if bits.next_bit() and (blk[k] & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else -p1
+
+    def decode_block(ci, by, bx, dc_tab, ac_tab):
+        blk = get_block(ci, by, bx)
+        if ss == 0 and ah == 0 and dc_tab is None:
+            raise ValueError("oracle jpeg: undefined DC table")
+        if se >= 1 and ac_tab is None:
+            raise ValueError("oracle jpeg: undefined AC table")
+        if ss == 0:
+            if ah == 0:
+                cat = bits.read_code(dc_tab)
+                preds[ci] += _jpeg_extend(bits.receive(cat), cat)
+                blk[0] = preds[ci] << al
+            elif bits.next_bit():
+                blk[0] |= p1
+        if se == 0:
+            return
+        k = max(ss, 1)
+        if ah == 0:  # AC first pass / the AC half of a sequential scan
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                return
+            while k <= se:
+                sym = bits.read_code(ac_tab)
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run == 15:
+                        k += 16
+                        continue
+                    state["eobrun"] = (1 << run) - 1
+                    if run:
+                        state["eobrun"] += bits.receive(run)
+                    break
+                k += run
+                if k > se:
+                    raise ValueError("oracle jpeg: AC overflow")
+                blk[k] = _jpeg_extend(bits.receive(size), size) << al
+                k += 1
+            return
+        # AC refinement pass (T.81 G.1.2.3)
+        if state["eobrun"] == 0:
+            while k <= se:
+                sym = bits.read_code(ac_tab)
+                run, size = sym >> 4, sym & 0x0F
+                newval = 0
+                if size:
+                    if size != 1:
+                        raise ValueError("oracle jpeg: bad refinement size")
+                    newval = p1 if bits.next_bit() else -p1
+                elif run != 15:
+                    state["eobrun"] = 1 << run
+                    if run:
+                        state["eobrun"] += bits.receive(run)
+                    break
+                while k <= se:
+                    if blk[k] != 0:
+                        correct(blk, k)
+                    else:
+                        run -= 1
+                        if run < 0:
+                            break
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError("oracle jpeg: refinement overflow")
+                    blk[k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    correct(blk, k)
+                k += 1
+            state["eobrun"] -= 1
+
+    rst = 0
+    if len(scan) > 1:  # interleaved: walk the MCU grid
+        for mcu in range(mcus_x * mcus_y):
+            if restart and mcu and mcu % restart == 0:
+                bits.sync_restart(rst)
+                rst += 1
+                preds = [0] * len(comps)
+                state["eobrun"] = 0
+            my, mx = mcu // mcus_x, mcu % mcus_x
+            for ci, dct, act in scan:
+                _, hs, vs, _ = comps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        decode_block(
+                            ci, my * vs + by, mx * hs + bx,
+                            huff.get((0, dct)), huff.get((1, act)),
+                        )
+    else:  # non-interleaved: the component's own ceiling grid (A.2.2)
+        ci, dct, act = scan[0]
+        _, hs, vs, _ = comps[ci]
+        cw = (fw * hs + hmax - 1) // hmax
+        ch = (fh * vs + vmax - 1) // vmax
+        nby, nbx = (ch + 7) // 8, (cw + 7) // 8
+        for unit in range(nby * nbx):
+            if restart and unit and unit % restart == 0:
+                bits.sync_restart(rst)
+                rst += 1
+                preds = [0] * len(comps)
+                state["eobrun"] = 0
+            decode_block(
+                ci, unit // nbx, unit % nbx,
+                huff.get((0, dct)), huff.get((1, act)),
+            )
+
+    p = bits.p
+    while p + 1 < len(raw) and not (
+        raw[p] == 0xFF
+        and raw[p + 1] != 0x00
+        and not 0xD0 <= raw[p + 1] <= 0xD7
+    ):
+        p += 1
+    if p + 1 >= len(raw):
+        raise ValueError("oracle jpeg: stream ends inside entropy data")
+    return p
+
+
 def decode_jpeg_pixels(raw: bytes) -> list[float]:
-    """Independent scalar baseline-JPEG decode (ITU T.81, restated):
-    dict-lookup huffman ((length, code) -> symbol, vs the engine's
-    mincode/maxcode/valptr arrays), per-block direct 2-D IDCT from the
-    spec formula over a scalar cosine table (vs the engine's one-einsum
-    matrix IDCT over all blocks), pixel-sampled chroma upsampling (vs
-    np.repeat). Returns RGB values row-major as floats (gray
-    replicated), identical to the engine's uint8 output."""
+    """Independent scalar JPEG decode (ITU T.81, restated): dict-lookup
+    huffman ((length, code) -> symbol, vs the engine's mincode/maxcode/
+    valptr arrays), dict-of-blocks coefficient stores accumulated scan
+    by scan (vs the engine's dense numpy stores), per-block direct 2-D
+    IDCT from the spec formula over a scalar cosine table (vs the
+    engine's one-einsum matrix IDCT over all blocks), pixel-sampled
+    chroma upsampling (vs np.repeat). Handles sequential (SOF0/1) and
+    progressive (SOF2: spectral selection + successive approximation,
+    EOB runs) huffman streams. Returns RGB values row-major as floats
+    (gray replicated), identical to the engine's uint8 output."""
     if raw[:2] != b"\xff\xd8":
         raise ValueError("oracle jpeg: no SOI")
     i = 2
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
     restart = 0
-    scomp: dict[int, tuple[int, int]] = {}
-    data_start = None
+    blocks: list[dict[tuple[int, int], list[int]]] | None = None
+    geom = None
+    saw_scan = False
     while i + 4 <= len(raw):
         if raw[i] != 0xFF:
             raise ValueError("oracle jpeg: marker sync lost")
@@ -544,9 +694,10 @@ def decode_jpeg_pixels(raw: bytes) -> list[float]:
                     code <<= 1
                 huff[key] = table
                 j += 17 + sum(counts)
-        elif m in (0xC0, 0xC1):
+        elif m in (0xC0, 0xC1, 0xC2):
             if body[0] != 8:
                 raise ValueError("oracle jpeg: only 8-bit precision")
+            progressive = m == 0xC2
             fh = int.from_bytes(body[1:3], "big")
             fw = int.from_bytes(body[3:5], "big")
             nc = body[5]
@@ -555,72 +706,55 @@ def decode_jpeg_pixels(raw: bytes) -> list[float]:
                 cid, hv, tq = body[6 + 3 * c: 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (fh, fw, comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            geom = (
+                hmax, vmax,
+                (fw + 8 * hmax - 1) // (8 * hmax),
+                (fh + 8 * vmax - 1) // (8 * vmax),
+            )
+            blocks = [{} for _ in comps]
         elif m == 0xDD:
             restart = int.from_bytes(body[:2], "big")
         elif m == 0xDA:
+            if frame is None:
+                raise ValueError("oracle jpeg: SOS before SOF")
             ns = body[0]
+            scan = []
             for s in range(ns):
-                scomp[body[1 + 2 * s]] = (
-                    body[2 + 2 * s] >> 4,
-                    body[2 + 2 * s] & 0x0F,
-                )
-            data_start = i + 2 + ln
-            break
+                cid, tt = body[1 + 2 * s], body[2 + 2 * s]
+                idxs = [
+                    c for c, comp in enumerate(frame[2]) if comp[0] == cid
+                ]
+                if not idxs:
+                    raise ValueError("oracle jpeg: unknown scan component")
+                scan.append((idxs[0], tt >> 4, tt & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns: 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            i = _oracle_decode_scan(
+                raw, i + 2 + ln, frame, *geom,
+                blocks, huff, scan, ss, se, ah, al, restart,
+            )
+            saw_scan = True
+            continue
         i += 2 + ln
-    if frame is None or data_start is None:
+    if frame is None or not saw_scan:
         raise ValueError("oracle jpeg: missing SOF/SOS")
     fh, fw, comps = frame
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+    hmax, vmax, mcus_x, mcus_y = geom
 
-    # entropy decode: per-component dict of block -> 64 natural-order
-    # coefficients (dequantized as exact ints)
-    blocks: list[dict[tuple[int, int], list[int]]] = [{} for _ in comps]
-    bits = _OracleJpegBits(raw, data_start)
-    preds = [0] * len(comps)
-    rst = 0
-    for mcu in range(mcus_x * mcus_y):
-        if restart and mcu and mcu % restart == 0:
-            bits.sync_restart(rst)
-            rst += 1
-            preds = [0] * len(comps)
-        my, mx = mcu // mcus_x, mcu % mcus_x
-        for ci, (cid, hs, vs, tq) in enumerate(comps):
-            dc_tab = huff[(0, scomp[cid][0])]
-            ac_tab = huff[(1, scomp[cid][1])]
-            for by in range(vs):
-                for bx in range(hs):
-                    zz = [0] * 64
-                    cat = bits.read_code(dc_tab)
-                    preds[ci] += _jpeg_extend(bits.receive(cat), cat)
-                    zz[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        sym = bits.read_code(ac_tab)
-                        run, size = sym >> 4, sym & 0x0F
-                        if size == 0:
-                            if run == 15:
-                                k += 16
-                                continue
-                            break
-                        k += run
-                        if k > 63:
-                            raise ValueError("oracle jpeg: AC overflow")
-                        zz[k] = _jpeg_extend(bits.receive(size), size)
-                        k += 1
-                    nat = [0] * 64
-                    for k in range(64):
-                        nat[_JPEG_ZIGZAG[k]] = zz[k] * qt[tq][_JPEG_ZIGZAG[k]]
-                    blocks[ci][(my * vs + by, mx * hs + bx)] = nat
-
-    # per-component plane via the direct IDCT formula
+    # per-component plane via the direct IDCT formula (dequantizing the
+    # accumulated zigzag coefficients here, after the last scan)
     planes: list[list[list[float]]] = []
     for ci, (cid, hs, vs, tq) in enumerate(comps):
         ph, pw = mcus_y * vs * 8, mcus_x * hs * 8
-        plane = [[0.0] * pw for _ in range(ph)]
-        for (by, bx), nat in blocks[ci].items():
+        plane = [[128.0] * pw for _ in range(ph)]
+        for (by, bx), zz in blocks[ci].items():
+            nat = [0] * 64
+            for k in range(64):
+                nat[_JPEG_ZIGZAG[k]] = zz[k] * qt[tq][_JPEG_ZIGZAG[k]]
             for y in range(8):
                 for x in range(8):
                     acc = 0.0

@@ -133,6 +133,14 @@ def frame_feature_inputs(track_ids: list[str]) -> list[tuple[str, bytes, str]]:
              synth.image_pixels("jpg_sub"), quality=85, subsample=True
          ),
          "jpeg"),
+        # progressive (SOF2): the oracle decodes the actual SOF2 bytes
+        # with its own scalar spectral-selection/successive-approximation
+        # scan decoder — a genuine second implementation of T.81 G.2
+        ("jpg_prog",
+         jpeg.encode_jpeg(
+             synth.image_pixels("jpg_prog"), quality=85, progressive=True
+         ),
+         "jpeg"),
     ]
     items += [
         ("mjv_avi", synth.mjpeg_bytes("mjv_avi", n_frames=3), "mjpeg"),
