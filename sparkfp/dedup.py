@@ -451,6 +451,116 @@ def claims_from_verdicts(verdicts: DataFrame) -> DataFrame:
     )
 
 
+class NearDupEpochs:
+    """Epoch lifecycle for the streaming near-dup suppressor: the one
+    public entry point that assembles what the pieces above otherwise
+    leave to the caller — run an epoch's stream, snapshot its claimed
+    bands, and feed the union of all prior snapshots into the next
+    epoch, so keyed-state row count stays bounded by each epoch's OWN
+    active bands while suppression still sees every band ever claimed.
+
+    Filesystem layout under ``root_dir`` (any Hadoop-compatible path —
+    object storage at scale): ``claims/`` (append-only parquet of
+    (band_idx, band, epoch) snapshots), ``verdicts/<epoch>/`` (each
+    epoch's verdict sink), ``ckpt/<epoch>/`` (each epoch's streaming
+    checkpoint — fresh per epoch BY DESIGN: cross-epoch memory travels
+    through the claims table, not the state store, which is exactly the
+    compaction). Restart-safe the same way the exactly-once sink is:
+    re-running a finished epoch replays from its own checkpoint into
+    its own sink.
+
+    Usage::
+
+        ep = NearDupEpochs(spark, root, "doc_id", "text", "ts_ms")
+        ep.run_epoch(stream1, "e1")      # -> verdicts DataFrame
+        ep.run_epoch(stream2, "e2")      # e2 sees e1's claims
+        ep.survivors("e2")               # per-doc survival for epoch 2
+
+    Reference anchor: the reference persists cross-run dedup state as a
+    side file (alerts_state.json pattern, helpers.py:23-33); this is
+    that idea at corpus scale, with the side table doubling as the
+    state-compaction ledger."""
+
+    def __init__(
+        self,
+        spark,
+        root_dir: str,
+        id_col: str,
+        text_col: str,
+        ts_col: str,
+        watermark: str = "10 seconds",
+        n_hashes: int = 16,
+        n_bands: int = 4,
+        k: int = 3,
+    ):
+        self.spark = spark
+        self.root = root_dir.rstrip("/")
+        self.id_col, self.text_col, self.ts_col = id_col, text_col, ts_col
+        self.watermark = watermark
+        self.n_hashes, self.n_bands, self.k = n_hashes, n_bands, k
+        self.last_state_rows: list[int] | None = None
+
+    def _claims_dir(self) -> str:
+        return f"{self.root}/claims"
+
+    def claims(self) -> DataFrame | None:
+        """Union of every prior epoch's claimed-band snapshot (None
+        before the first epoch)."""
+        try:
+            df = self.spark.read.parquet(self._claims_dir())
+        except Exception:
+            return None
+        return df.select("band_idx", "band").dropDuplicates(
+            ["band_idx", "band"]
+        )
+
+    def run_epoch(self, stream: DataFrame, name: str, timeout_s: int = 300) -> DataFrame:
+        """Run one epoch: stream -> band verdicts (with all prior
+        claims pre-marked) -> parquet sink; then snapshot this epoch's
+        newly claimed bands into the claims ledger. Returns the epoch's
+        verdict DataFrame. ``last_state_rows`` records the state-store
+        row counts per micro-batch (observability: the bound that
+        compaction promises)."""
+        import json
+
+        sink = f"{self.root}/verdicts/{name}"
+        ckpt = f"{self.root}/ckpt/{name}"
+        verdicts = near_dup_band_verdicts_stream(
+            stream, self.id_col, self.text_col, self.ts_col,
+            watermark=self.watermark, n_hashes=self.n_hashes,
+            n_bands=self.n_bands, k=self.k, claims=self.claims(),
+        )
+        q = (
+            verdicts.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(f"near-dup epoch {name!r} did not finish")
+        self.last_state_rows = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in (json.loads(pp.json) for pp in q.recentProgress)
+            if p.get("stateOperators")
+        ]
+        out = self.spark.read.parquet(sink)
+        (
+            claims_from_verdicts(out)
+            .withColumn("epoch", F.lit(name))
+            .write.mode("append")
+            .parquet(self._claims_dir())
+        )
+        return out
+
+    def survivors(self, name: str) -> DataFrame:
+        """Per-doc survival for one finished epoch."""
+        verdicts = self.spark.read.parquet(f"{self.root}/verdicts/{name}")
+        return collapse_band_verdicts(verdicts, self.id_col, self.n_bands)
+
+
 # ---------------------------------------------------------------- n-gram Jaccard
 
 

@@ -542,3 +542,97 @@ def test_near_dup_claims_compaction_bounds_state(spark, tmp_path):
     assert n_new2 < n_total2  # d2's pre-claimed bands exist and evict
     assert state2, "no stateOperators progress recorded"
     assert state2[-1] == n_new2
+
+
+def test_near_dup_epochs_three_epoch_lifecycle(spark, tmp_path):
+    """dedup.NearDupEpochs: the packaged epoch rotation (run -> snapshot
+    claims -> feed union forward). Three epochs where epoch 2 dups an
+    epoch-1 text and epoch 3 dups an epoch-2 text: survivors must equal
+    the batch oracle over the concatenated corpus, and each epoch's
+    final state-store row count must equal the bands NEWLY claimed that
+    epoch (pre-claimed bands evict; state is bounded per-epoch)."""
+    from sparkfp import dedup
+
+    base = 1_700_000_000_000
+    hour = 3_600_000
+    text_a = (
+        "the quick brown fox jumps over the lazy dog today while the sun "
+        "sets slowly behind the tall green hills and the river flows gently "
+        "past the old stone bridge"
+    )
+    text_b = (
+        "entirely new epoch two prose concerning columnar encodings "
+        "dictionary pages and run length schemes inside modern table formats"
+    )
+    text_c = (
+        "third epoch fresh material about watermark driven state eviction "
+        "and bounded claims ledgers inside large stream processing engines"
+    )
+    schema = "doc_id string, ts_ms long, text string"
+    epochs = {
+        "e1": [
+            ("d0", base, text_a),
+            ("d1", base + 60_000, text_a),
+            ("zf1", base + 24 * hour, "flush sentinel epoch one xyz"),
+        ],
+        "e2": [
+            ("d2", base + 30 * hour, text_a),          # dup of epoch 1
+            ("d3", base + 30 * hour + 60_000, text_b),
+            ("zf2", base + 60 * hour, "flush sentinel epoch two abc"),
+        ],
+        "e3": [
+            ("d4", base + 70 * hour, text_b),          # dup of epoch 2
+            ("d5", base + 70 * hour + 60_000, text_c),
+            ("zf3", base + 100 * hour, "flush sentinel epoch three pqr"),
+        ],
+    }
+
+    ep = dedup.NearDupEpochs(
+        spark, str(tmp_path / "root"), "doc_id", "text", "ts_ms",
+        watermark="2 hours",
+    )
+    surv = {}
+    for name, rows in epochs.items():
+        src = str(tmp_path / f"src_{name}")
+        for row in rows:  # one file per row -> one micro-batch per row
+            spark.createDataFrame([row], schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        prior_claims = ep.claims()
+        ep.run_epoch(stream, name)
+        surv[name] = {
+            r.doc_id
+            for r in ep.survivors(name).collect()
+            if not r.doc_id.startswith("zf")
+        }
+        # bounded state: final row count == bands newly presented this
+        # epoch (claimed by its docs or still buffered by its sentinel);
+        # every pre-claimed band must have evicted
+        df = spark.createDataFrame(rows, schema)
+        bands = dedup.banded_docs(df, "doc_id", "text", "ts_ms").select(
+            "band_idx", "band"
+        ).distinct()
+        n_new = (
+            bands.count()
+            if prior_claims is None
+            else bands.join(prior_claims, ["band_idx", "band"], "left_anti").count()
+        )
+        assert ep.last_state_rows, name
+        assert ep.last_state_rows[-1] == n_new, name
+
+    assert surv == {"e1": {"d0"}, "e2": {"d3"}, "e3": {"d5"}}
+
+    # cross-epoch survivors == the batch twin over the whole corpus
+    all_rows = [r for rows in epochs.values() for r in rows]
+    batch = dedup.near_dup_suppress_batch(
+        spark.createDataFrame(all_rows, schema), "doc_id", "text", "ts_ms"
+    )
+    got_batch = {
+        r.doc_id for r in batch.collect() if not r.doc_id.startswith("zf")
+    }
+    assert got_batch == surv["e1"] | surv["e2"] | surv["e3"]
