@@ -141,49 +141,131 @@ def spark_submit(cores: int, clips: int, zip_path: str, pin: bool = True) -> dic
     raise RuntimeError(f"no result line from spark-submit at local[{cores}]")
 
 
+LEG_PATHS = {
+    "n": os.path.join(REPO, "bench", "leg_n.json"),
+    "4n": os.path.join(REPO, "bench", "leg_4n.json"),
+    "n2": os.path.join(REPO, "bench", "leg_n2.json"),
+}
+# coordination with interactive work in the same sandbox: test/bench
+# runs touch BUSY_LOCK so the hunt won't burn a pair against a machine
+# it knows is loaded; the hunt holds PAIR_LOCK while its legs run so
+# interactive work can avoid corrupting a measurement in flight
+BUSY_LOCK = os.path.join(REPO, "bench", ".engine_busy")
+PAIR_LOCK = os.path.join(REPO, "bench", ".hunt_pair_running")
+
+
+def run_one_leg(leg: str, args, zip_path: str) -> dict:
+    probe = ambient_probe()
+    cores = args.n * 4 if leg == "4n" else args.n
+    r = spark_submit(cores, args.clips, zip_path)
+    r["ambient_probe"] = probe
+    with open(LEG_PATHS[leg], "w") as f:
+        json.dump(r, f)
+    return r
+
+
+def hunt(args, zip_path: str) -> None:
+    """Opportunistic clean-pair hunt: probe the hypervisor window first
+    and only burn an N -> 4N -> N sandwich when it reads clean, backing
+    off while it doesn't. Each attempt's legs are archived to
+    bench/<prefix><k>_{n,4n,n2}.json and its merged row appended to
+    BENCH/scaling_runs.jsonl (mode=hunt); the hunt stops at the first
+    pair that is BOTH probe-clean on every leg and >= --target
+    efficiency, or when --hunt-minutes expire — either outcome is
+    evidence (VERDICT r5 task #3)."""
+    import shutil
+    import time
+
+    deadline = time.time() + args.hunt_minutes * 60
+    backoff, attempt = 30.0, 0
+    while time.time() < deadline:
+        if os.path.exists(BUSY_LOCK):
+            print(json.dumps({"hunt": "engine busy, waiting"}), flush=True)
+            time.sleep(30)
+            continue
+        probe = ambient_probe()
+        print(json.dumps({"hunt_gate_probe": probe}), flush=True)
+        if not probe["clean_window"]:
+            time.sleep(min(backoff, max(1.0, deadline - time.time())))
+            backoff = min(backoff * 1.5, 480)
+            continue
+        backoff = 30.0
+        attempt += 1
+        with open(PAIR_LOCK, "w") as f:
+            f.write(str(os.getpid()))
+        try:
+            for leg in ("n", "4n", "n2"):
+                run_one_leg(leg, args, zip_path)
+        finally:
+            os.unlink(PAIR_LOCK)
+        result = merge_legs(
+            args, extra={"mode": "hunt", "attempt": attempt}
+        )
+        for leg in ("n", "4n", "n2"):
+            shutil.copy(
+                LEG_PATHS[leg],
+                os.path.join(
+                    REPO, "bench", f"{args.archive_prefix}{attempt}_{leg}.json"
+                ),
+            )
+        print(json.dumps(result), flush=True)
+        if result["clean_pair"] and result["scaling_efficiency"] >= args.target:
+            print(
+                json.dumps({"hunt": "clean pair found", "attempt": attempt}),
+                flush=True,
+            )
+            return
+    print(
+        json.dumps({"hunt": "deadline reached", "attempts": attempt}),
+        flush=True,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--clips", type=int, default=3072)
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument(
-        "--leg", choices=["n", "4n", "n2", "both", "merge"], default="both",
+        "--leg", choices=["n", "4n", "n2", "both", "merge", "hunt"],
+        default="both",
         help="run one leg (result cached to bench/leg_*.json), or merge cached legs; "
         "n2 = a SECOND narrow leg run after 4n (N -> 4N -> N sandwich): the two "
         "narrow legs' agreement is the drift detector for the window, measured "
-        "by the same instrument as the pair itself",
+        "by the same instrument as the pair itself; hunt = probe-gated retry "
+        "loop that burns sandwiches only in clean windows",
     )
+    ap.add_argument("--hunt-minutes", type=float, default=180.0)
+    ap.add_argument("--target", type=float, default=0.8)
+    ap.add_argument("--archive-prefix", default="r6_hunt")
     args = ap.parse_args()
 
     zip_path = os.path.join(REPO, "bench", "sparkfp.zip")
-    leg_n_path = os.path.join(REPO, "bench", "leg_n.json")
-    leg_4n_path = os.path.join(REPO, "bench", "leg_4n.json")
-    leg_n2_path = os.path.join(REPO, "bench", "leg_n2.json")
+    leg_n2_path = LEG_PATHS["n2"]
 
-    if args.leg in ("n", "4n", "n2", "both"):
+    if args.leg in ("n", "4n", "n2", "both", "hunt"):
         zip_engine(zip_path)
+    if args.leg == "hunt":
+        hunt(args, zip_path)
+        return
     if args.leg in ("n", "both"):
         # a fresh pair run invalidates any stale second narrow leg
         if os.path.exists(leg_n2_path):
             os.remove(leg_n2_path)
-        probe = ambient_probe()
-        r_n = spark_submit(args.n, args.clips, zip_path)
-        r_n["ambient_probe"] = probe
-        with open(leg_n_path, "w") as f:
-            json.dump(r_n, f)
+        run_one_leg("n", args, zip_path)
     if args.leg in ("4n", "both"):
-        probe = ambient_probe()
-        r_4n = spark_submit(args.n * 4, args.clips, zip_path)
-        r_4n["ambient_probe"] = probe
-        with open(leg_4n_path, "w") as f:
-            json.dump(r_4n, f)
+        run_one_leg("4n", args, zip_path)
     if args.leg == "n2":
-        probe = ambient_probe()
-        r_n2 = spark_submit(args.n, args.clips, zip_path)
-        r_n2["ambient_probe"] = probe
-        with open(leg_n2_path, "w") as f:
-            json.dump(r_n2, f)
+        run_one_leg("n2", args, zip_path)
     if args.leg in ("n", "4n", "n2"):
         return
+    result = merge_legs(args)
+    print(json.dumps(result))
+
+
+def merge_legs(args, extra: dict | None = None) -> dict:
+    leg_n_path = LEG_PATHS["n"]
+    leg_4n_path = LEG_PATHS["4n"]
+    leg_n2_path = LEG_PATHS["n2"]
     with open(leg_n_path) as f:
         r_n = json.load(f)
     with open(leg_4n_path) as f:
@@ -242,7 +324,8 @@ def main() -> None:
             )
         ),
     }
-    print(json.dumps(result))
+    if extra:
+        result.update(extra)
     # BENCH/BASELINE.md is hand-maintained (measurement history +
     # interpretation); merges append machine results to a JSON log
     # instead of clobbering it.
@@ -250,6 +333,7 @@ def main() -> None:
     log_path = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
     with open(log_path, "a") as f:
         f.write(json.dumps(result) + "\n")
+    return result
 
 
 if __name__ == "__main__":
