@@ -145,7 +145,11 @@ def main() -> None:
     # JVM/codegen/scan-footer setup (measured 5.5 s cold vs 0.65 s warm
     # for the same query) and the bench would report harness startup,
     # not engine throughput
-    for t in ("events", "lineitem", "documents"):
+    # ...every table a headline query scans: a cold parquet footer read
+    # costs ~1-3 s here and shows up as first-rep-only jitter (r5's
+    # interval_join spread 3.24 s on a 2.02 s min traced to the cold
+    # `orders` scan, not the join)
+    for t in ("events", "lineitem", "documents", "orders", "part", "embeddings"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
     queries["fingerprint_stats"](spark, SF_DIR).count()
     # min-of-N per query: single-shot timings on this VM swing 2-3x
