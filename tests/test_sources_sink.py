@@ -261,3 +261,117 @@ def test_iceberg_sink_connector_gate(spark):
     # the batch-id snapshot property the protocol keys on is pinned:
     # renaming it would silently break replay dedup on a real cluster
     assert ExactlyOnceIcebergSink.PROP == "sparkfp.batch_id"
+
+
+def test_iceberg_sink_replay_protocol_with_stub_session():
+    """Drive ExactlyOnceIcebergSink's replay protocol without the
+    runtime jars (the connector gate above proves they're absent here):
+    stub the two session surfaces the sink touches — ``spark.sql``
+    over ``<table>.snapshots`` for the ledger lookup, and
+    ``batch_df.writeTo(...).option(...).append()`` for the commit — and
+    assert batch-id idempotence end-to-end: a replayed batch_id appends
+    nothing, a new batch_id appends exactly once and stamps the
+    ``sparkfp.batch_id`` snapshot property the lookup keys on. The
+    real-runtime twin below runs the same contract wherever the jars
+    exist."""
+    from sparkfp.sink import ExactlyOnceIcebergSink
+
+    class _Snapshots:
+        """Snapshot summaries as the sink reads them back."""
+
+        def __init__(self):
+            self.rows = []  # one dict per committed snapshot
+
+    class _Row:
+        def __init__(self, summary):
+            self.summary = summary
+
+    class _StubSpark:
+        def __init__(self, snaps):
+            self._snaps = snaps
+
+        def sql(self, q):
+            assert q.endswith(".snapshots")
+
+            class _Res:
+                def __init__(self, rows):
+                    self._rows = rows
+
+                def collect(self):
+                    return [_Row(s) for s in self._rows]
+
+            return _Res(self._snaps.rows)
+
+    class _Writer:
+        def __init__(self, snaps, payload, table):
+            self._snaps, self._payload, self._table = snaps, payload, table
+            self._props = {}
+
+        def option(self, k, v):
+            assert k.startswith("snapshot-property.")
+            self._props[k[len("snapshot-property."):]] = v
+            return self
+
+        def append(self):
+            # Iceberg semantics: data + summary props in ONE snapshot
+            self._snaps.rows.append(dict(self._props, rows=self._payload))
+
+    class _StubBatchDF:
+        def __init__(self, snaps, payload):
+            self._snaps, self._payload = snaps, payload
+
+        def writeTo(self, table):
+            return _Writer(self._snaps, self._payload, table)
+
+    snaps = _Snapshots()
+    sink = object.__new__(ExactlyOnceIcebergSink)  # bypass the jar gate only
+    sink.spark = _StubSpark(snaps)
+    sink.table = "cat.db.matches"
+
+    sink(_StubBatchDF(snaps, [1]), 0)
+    assert sink.is_committed(0) and not sink.is_committed(1)
+    sink(_StubBatchDF(snaps, [999]), 0)  # restart replay: must be a no-op
+    assert [s["rows"] for s in snaps.rows] == [[1]]
+    assert snaps.rows[0][ExactlyOnceIcebergSink.PROP] == "0"
+    sink(_StubBatchDF(snaps, [2]), 1)
+    assert [s["rows"] for s in snaps.rows] == [[1], [2]]
+    assert sink.committed_batch_ids() == {0, 1}
+
+
+def test_iceberg_sink_crash_replay_real_runtime(spark, tmp_path):
+    """The real-runtime twin (VERDICT r5 task #8): wherever the Iceberg
+    jars ARE on the classpath, run the crash-replay contract against an
+    actual hadoop-catalog table — replayed batch_id is a no-op, the
+    snapshot summary carries the ledger. Skipped (not failed) in
+    containers without the connector; the stub test above pins the
+    protocol there."""
+    from pyspark.sql import SparkSession
+
+    from sparkfp.sink import ExactlyOnceIcebergSink, iceberg_available
+
+    if not iceberg_available(spark):
+        pytest.skip("Iceberg Spark runtime not on the classpath")
+
+    spark.stop()  # need a session with a catalog conf; rebuild below
+    it = (
+        SparkSession.builder.master("local[4]")
+        .appName("sparkfp-iceberg-test")
+        .config(
+            "spark.sql.extensions",
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        )
+        .config("spark.sql.catalog.t", "org.apache.iceberg.spark.SparkCatalog")
+        .config("spark.sql.catalog.t.type", "hadoop")
+        .config("spark.sql.catalog.t.warehouse", str(tmp_path / "wh"))
+        .getOrCreate()
+    )
+    try:
+        it.sql("CREATE TABLE t.db.m (x long) USING iceberg")
+        sink = ExactlyOnceIcebergSink(it, "t.db.m")
+        sink(it.createDataFrame([(1,)], "x long"), 0)
+        sink(it.createDataFrame([(999,)], "x long"), 0)  # replay: no-op
+        sink(it.createDataFrame([(2,)], "x long"), 1)
+        assert sorted(r.x for r in sink.read(it).collect()) == [1, 2]
+        assert sink.committed_batch_ids() == {0, 1}
+    finally:
+        it.stop()
