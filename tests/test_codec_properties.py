@@ -89,9 +89,52 @@ def test_audio_roundtrip_meets_snr_contract(pcm, name):
         assert codec.snr_db(pcm, out) >= 30.0
 
 
+@st.composite
+def paletted_images(draw, max_h=34, max_w=23):
+    h = draw(st.integers(1, max_h))
+    w = draw(st.integers(1, max_w))
+    n_colors = draw(st.sampled_from([1, 2, 3, 16, 100, 256]))
+    rng = np.random.default_rng(draw(st.integers(0, 2**31 - 1)))
+    palette = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    return palette[rng.integers(0, n_colors, size=(h, w))]
+
+
+@settings(max_examples=40, deadline=None)
+@given(paletted_images(), st.booleans())
+def test_gif_roundtrip_exact_property(img, interlace):
+    """GIF is lossless for indexed-color input: LZW + palette must
+    round-trip bit-exactly, sequential and 4-pass interlaced alike."""
+    from sparkfp import gif
+
+    out = codec.decode_image(gif.encode_gif(img, interlace=interlace), "gif")
+    assert np.array_equal(out, img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(500, 4000), st.floats(0.01, 0.2),
+       st.floats(0.2, 0.9), st.integers(0, 2**31 - 1))
+def test_adpcm_roundtrip_snr_envelope(n, rate, amp, seed):
+    """IMA ADPCM encode-quality envelope: a 4-bit delta coder delivers
+    mid-20s-to-40s dB on band-limited content (step adaptation lags
+    the sine's varying slope), so the property pins >=26 dB across the
+    speech-band corner cases — the codec's honest envelope, not the
+    30 dB decode-parity contract. Decode parity (the north-rule
+    invariant) is bit-exact vs the scalar oracle, i.e. infinite SNR
+    (test_decode_engine_equals_oracle[adpcm])."""
+    rng = np.random.default_rng(seed)
+    pcm = np.clip(
+        amp * np.sin(rate * np.arange(n))
+        + 0.01 * rng.standard_normal(n),
+        -1, 1,
+    ).astype(np.float32)
+    out = codec.decode(codec.encode(pcm, "adpcm"), "adpcm")
+    assert len(out) == n
+    assert codec.snr_db(pcm, out) >= 26.0
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.binary(min_size=0, max_size=300),
-       st.sampled_from(["bmp", "ppm", "png", "jpeg"]))
+       st.sampled_from(["bmp", "ppm", "png", "jpeg", "gif"]))
 def test_image_decoders_never_crash_with_foreign_errors(raw, image_codec):
     """Fuzz: arbitrary bytes either decode (vacuously rare) or raise
     exactly ValueError/UnsupportedCodec — the per-row error contract
@@ -105,11 +148,25 @@ def test_image_decoders_never_crash_with_foreign_errors(raw, image_codec):
 
 @settings(max_examples=60, deadline=None)
 @given(st.binary(min_size=0, max_size=300),
-       st.sampled_from(["pcm_s16le", "ulaw", "alaw", "wav"]))
+       st.sampled_from(["pcm_s16le", "ulaw", "alaw", "wav", "adpcm"]))
 def test_audio_decoders_never_crash_with_foreign_errors(raw, name):
     try:
         out = codec.decode(raw, name)
         assert out.dtype == np.float32
+    except (ValueError, codec.UnsupportedCodec):
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_gif_decoder_contract_past_magic(raw):
+    """Plain byte fuzz almost never passes the GIF magic, so this
+    variant staples a valid header on and fuzzes the block structure —
+    the sub-block walk, color-table reads, and LZW stream must still
+    honor the ValueError/UnsupportedCodec contract."""
+    try:
+        out = codec.decode_image(b"GIF89a" + raw, "gif")
+        assert out.ndim == 3 and out.shape[2] == 3
     except (ValueError, codec.UnsupportedCodec):
         pass
 

@@ -45,7 +45,9 @@ def test_contract_constants_agree():
     )
 
 
-@pytest.mark.parametrize("codec_name", ["pcm_s16le", "ulaw", "alaw", "wav"])
+@pytest.mark.parametrize(
+    "codec_name", ["pcm_s16le", "ulaw", "alaw", "wav", "adpcm"]
+)
 def test_decode_engine_equals_oracle(codec_name):
     rng = np.random.default_rng(11)
     pcm = (0.4 * rng.standard_normal(5000)).astype(np.float32)
@@ -55,7 +57,9 @@ def test_decode_engine_equals_oracle(codec_name):
     assert np.array_equal(eng.astype(np.float64), ora)
 
 
-@pytest.mark.parametrize("codec_name", ["pcm_s16le", "ulaw", "alaw", "wav"])
+@pytest.mark.parametrize(
+    "codec_name", ["pcm_s16le", "ulaw", "alaw", "wav", "adpcm"]
+)
 def test_landmarks_engine_equals_oracle(codec_name):
     """Exact (hash, t_ms) multiset equality per clip, both codecs,
     noise and excerpt clips alike."""

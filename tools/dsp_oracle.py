@@ -101,12 +101,75 @@ def _alaw_expand_table() -> list[int]:
 _ALAW_TABLE = _alaw_expand_table()
 
 
+# IMA ADPCM reference-algorithm tables, restated from the spec (they
+# are the format contract, declared independently of sparkfp/codec.py)
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _decode_ima_scalar(
+    data: bytes, block_align: int, fact: int | None
+) -> list[float]:
+    """Literal per-sample IMA ADPCM loop: one nibble at a time, pure
+    Python ints and if/else step updates — vs the engine's
+    across-blocks lockstep numpy (sparkfp/codec.py)."""
+    if block_align < 5:
+        raise ValueError("oracle: bad adpcm block align")
+    out = []
+    n_blocks = len(data) // block_align
+    for b in range(n_blocks):
+        blk = data[b * block_align: (b + 1) * block_align]
+        pred = struct.unpack_from("<h", blk, 0)[0]
+        index = blk[2]
+        if index > 88:
+            raise ValueError("oracle: adpcm step index out of range")
+        out.append(pred)
+        for byte in blk[4:]:
+            for code in (byte & 0x0F, byte >> 4):
+                step = _IMA_STEP_TABLE[index]
+                diff = step >> 3
+                if code & 4:
+                    diff += step
+                if code & 2:
+                    diff += step >> 1
+                if code & 1:
+                    diff += step >> 2
+                if code & 8:
+                    pred -= diff
+                else:
+                    pred += diff
+                if pred > 32767:
+                    pred = 32767
+                if pred < -32768:
+                    pred = -32768
+                index += _IMA_INDEX_TABLE[code & 7]
+                if index < 0:
+                    index = 0
+                if index > 88:
+                    index = 88
+                out.append(pred)
+    if fact is not None:
+        if fact > len(out):
+            raise ValueError("oracle: adpcm data shorter than fact")
+        out = out[:fact]
+    return [s / 32768.0 for s in out]
+
+
 def _decode_wav_scalar(raw: bytes) -> list[float]:
     """Scalar RIFF/WAVE walk: struct reads, per-sample loop, channel
     mean in float64 — independent of the engine's frombuffer path."""
     if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("oracle: not RIFF/WAVE")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact = 12, None, None, None
     while pos + 8 <= len(raw):
         cid = raw[pos: pos + 4]
         size = struct.unpack_from("<I", raw, pos + 4)[0]
@@ -115,13 +178,18 @@ def _decode_wav_scalar(raw: bytes) -> list[float]:
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            fact = struct.unpack_from("<I", body, 0)[0]
         pos += 8 + size + (size % 2)
     if fmt is None or data is None:
         raise ValueError("oracle: missing fmt/data")
     tag, nch = struct.unpack_from("<HH", fmt, 0)
     bits = struct.unpack_from("<H", fmt, 14)[0]
+    if tag == 0x11 and bits == 4 and nch == 1:
+        block_align = struct.unpack_from("<H", fmt, 12)[0]
+        return _decode_ima_scalar(data, block_align, fact)
     if tag != 1 or bits != 16:
-        raise ValueError("oracle handles 16-bit PCM wav only")
+        raise ValueError("oracle handles 16-bit PCM / mono IMA ADPCM wav only")
     samples = [s[0] for s in struct.iter_unpack("<h", data[: len(data) - len(data) % 2])]
     n_frames = len(samples) // nch
     out = []
@@ -139,7 +207,7 @@ def decode(raw: bytes, codec_name: str) -> list[float]:
         return [_ULAW_TABLE[b] / 32768.0 for b in raw]
     if codec_name == "alaw":
         return [_ALAW_TABLE[b] / 32768.0 for b in raw]
-    if codec_name == "wav":
+    if codec_name in ("wav", "adpcm"):
         return _decode_wav_scalar(raw)
     raise ValueError(f"oracle cannot decode codec {codec_name!r}")
 
@@ -331,6 +399,129 @@ def decode_bmp_pixels(raw: bytes) -> list[float]:
         for x in range(w):
             b, g, r = raw[base + 3 * x : base + 3 * x + 3]
             vals.extend((float(r), float(g), float(b)))
+    return vals
+
+
+def _gif_lzw_scalar(data: bytes, mcs: int, n_pixels: int) -> list[int]:
+    """Chain-table LZW: entries are (prefix_code, byte) pairs expanded
+    by walking the chain — vs the engine's materialized bytearray
+    strings (sparkfp/gif.py). Scalar bit reader, LSB-first."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    bitpos = 0
+
+    def read(width: int) -> int:
+        nonlocal bitpos
+        v = 0
+        for k in range(width):
+            byte_i = bitpos >> 3
+            if byte_i >= len(data):
+                raise ValueError("oracle: gif lzw ran out of bits")
+            v |= ((data[byte_i] >> (bitpos & 7)) & 1) << k
+            bitpos += 1
+        return v
+
+    def expand(code: int, table: dict) -> list[int]:
+        seq: list[int] = []
+        cur: int | None = code
+        while cur is not None:
+            pref, byte = table[cur]
+            seq.append(byte)
+            cur = pref
+        return seq[::-1]
+
+    table = {i: (None, i) for i in range(clear)}
+    width, nxt, prev = mcs + 1, end + 1, None
+    out: list[int] = []
+    while len(out) < n_pixels:
+        code = read(width)
+        if code == clear:
+            table = {i: (None, i) for i in range(clear)}
+            width, nxt, prev = mcs + 1, end + 1, None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code not in table:
+                raise ValueError("oracle: bad first gif code")
+            out.extend(expand(code, table))
+            prev = code
+            continue
+        if code in table:
+            seq = expand(code, table)
+            if nxt < 4096:
+                table[nxt] = (prev, seq[0])
+                nxt += 1
+        elif code == nxt and nxt < 4096:
+            first = expand(prev, table)[0]
+            table[nxt] = (prev, first)
+            nxt += 1
+            seq = expand(code, table)
+        else:
+            raise ValueError("oracle: gif code out of range")
+        out.extend(seq)
+        prev = code
+        if nxt == (1 << width) and width < 12:
+            width += 1
+    if len(out) < n_pixels:
+        raise ValueError("oracle: gif raster short")
+    return out[:n_pixels]
+
+
+def decode_gif_pixels(raw: bytes) -> list[float]:
+    """Independent scalar GIF parse: struct reads, per-field block
+    walk, chain-table LZW, per-row de-interlace loop. Returns RGB
+    values in row-major top-down order."""
+    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("oracle: not a GIF")
+    flags = raw[10]
+    pos, gct = 13, None
+    if flags & 0x80:
+        n = 3 * (1 << ((flags & 7) + 1))
+        gct = raw[pos: pos + n]
+        pos += n
+    while pos < len(raw) and raw[pos] == 0x21:
+        pos += 2
+        while raw[pos] != 0:
+            pos += 1 + raw[pos]
+        pos += 1
+    if pos >= len(raw) or raw[pos] != 0x2C:
+        raise ValueError("oracle: no gif image descriptor")
+    w = struct.unpack_from("<H", raw, pos + 5)[0]
+    h = struct.unpack_from("<H", raw, pos + 7)[0]
+    iflags = raw[pos + 9]
+    pos += 10
+    ct = gct
+    if iflags & 0x80:
+        n = 3 * (1 << ((iflags & 7) + 1))
+        ct = raw[pos: pos + n]
+        pos += n
+    if ct is None:
+        raise ValueError("oracle: gif without color table")
+    mcs = raw[pos]
+    pos += 1
+    chunks = []
+    while raw[pos] != 0:
+        n = raw[pos]
+        chunks.append(raw[pos + 1: pos + 1 + n])
+        pos += 1 + n
+    indices = _gif_lzw_scalar(b"".join(chunks), mcs, w * h)
+    rows = [indices[r * w: (r + 1) * w] for r in range(h)]
+    if iflags & 0x40:  # 4-pass interlace: storage order -> display order
+        order = []
+        for off, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            order.extend(range(off, h, step))
+        display = [None] * h
+        for stored_row, display_row in enumerate(order):
+            display[display_row] = rows[stored_row]
+        rows = display
+    vals: list[float] = []
+    for row in rows:
+        for i in row:
+            if 3 * i + 2 >= len(ct):
+                raise ValueError("oracle: gif index outside palette")
+            vals.extend(
+                (float(ct[3 * i]), float(ct[3 * i + 1]), float(ct[3 * i + 2]))
+            )
     return vals
 
 
@@ -878,10 +1069,12 @@ def frame_features(
     decode via the oracle's scalar T.81 decoder (dict huffman + direct
     per-block IDCT), a genuine second implementation against the
     engine's vectorized einsum path."""
-    if codec_name in ("pcm_s16le", "ulaw", "alaw", "wav"):
+    if codec_name in ("pcm_s16le", "ulaw", "alaw", "wav", "adpcm"):
         vals = decode(raw, codec_name)
     elif codec_name == "bmp":
         vals = decode_bmp_pixels(raw)
+    elif codec_name == "gif":
+        vals = decode_gif_pixels(raw)
     elif codec_name == "png":
         vals = decode_png_pixels(raw)
     elif codec_name == "jpeg":

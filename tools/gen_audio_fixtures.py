@@ -111,7 +111,7 @@ def frame_feature_inputs(track_ids: list[str]) -> list[tuple[str, bytes, str]]:
     items += [
         (f"{cname}_00",
          synth.clip_row(f"{cname}_00", track_ids, codec_name=cname)[1], cname)
-        for cname in ("alaw", "wav")
+        for cname in ("alaw", "wav", "adpcm")
     ]
     # h264 = the remaining deterministic-fake boundary (needs ffmpeg)
     items += [
@@ -162,6 +162,20 @@ def frame_feature_inputs(track_ids: list[str]) -> list[tuple[str, bytes, str]]:
         (f"png_{i:02d}",
          synth.image_bytes(f"png_{i:02d}", "png", png_filter=i + 1), "png")
         for i in range(N_FRAME_PNGS)
+    ]
+    # real GIF rows (LZW indexed color): one sequential, one 4-pass
+    # interlaced — the oracle decodes both with its own chain-table LZW
+    # and scalar de-interlace walk
+    from sparkfp import gif as _gif  # input construction only
+
+    items += [
+        ("gif_00", _gif.encode_gif(synth.paletted_pixels("gif_00")), "gif"),
+        ("gif_il",
+         _gif.encode_gif(
+             synth.paletted_pixels("gif_il", h=33, n_colors=256),
+             interlace=True,
+         ),
+         "gif"),
     ]
     return items
 
