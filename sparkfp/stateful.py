@@ -411,6 +411,145 @@ def rate_limit_stream_auto(
 # --------------------------------------------------------------- streaming
 
 
+def _run_state_step(
+    st, down_since, start_since, ts, running, shutdown_ms, transition_ms
+):
+    """One run-state-machine transition (T6), shared by the
+    applyInPandasWithState and transformWithStateInPandas twins so the
+    two streaming implementations cannot drift. Reference semantics:
+    process_odr.py:1028-1084 — a full shutdown is the only thing that
+    clears the STARTING clock (brief dips survive)."""
+    if not running:
+        if down_since is None:
+            down_since = ts
+        if st != SHUTDOWN and ts - down_since >= shutdown_ms:
+            st = SHUTDOWN
+            start_since = None
+        label = SHUTDOWN if st == SHUTDOWN else RUNNING
+    else:
+        if st == SHUTDOWN:
+            st = STARTING
+            start_since = ts
+        down_since = None
+        if st == STARTING:
+            if start_since is None:  # resumed from persisted state
+                start_since = ts
+            if ts - start_since >= transition_ms:
+                st = RUNNING
+                start_since = None
+        label = st
+    return st, down_since, start_since, label
+
+
+def make_run_state_processor(
+    key_col: str,
+    ts_col: str,
+    running_col: str,
+    shutdown_window_s: int,
+    transition_window_s: int,
+):
+    """Build the StatefulProcessor behind run_state_stream_tws.
+
+    Factored out (like make_rate_limit_processor) so the transition
+    logic is drivable with stub state objects in tests even on
+    runtimes where the TWS state server can't start. One ValueState
+    holds the whole machine (state, down_since_ms, start_since_ms);
+    no timers — the machine emits one labeled row per input row."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    sh_ms = shutdown_window_s * 1000
+    tr_ms = transition_window_s * 1000
+
+    class _RunState(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.machine = handle.getValueState(
+                "machine",
+                "state string, down_since_ms long, start_since_ms long",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (k,) = key
+            got = self.machine.get() if self.machine.exists() else None
+            st, down_since, start_since = (
+                got if got is not None else (RUNNING, None, None)
+            )
+            out = []
+            for pdf in rows:
+                pdf = pdf.sort_values(ts_col)
+                for ts, running in zip(pdf[ts_col], pdf[running_col]):
+                    ts, running = int(ts), bool(running)
+                    st, down_since, start_since, label = _run_state_step(
+                        st, down_since, start_since, ts, running,
+                        sh_ms, tr_ms,
+                    )
+                    out.append((k, ts, running, label))
+            self.machine.update((st, down_since, start_since))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=[key_col, "ts_ms", "running", "run_state"]
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            return iter(())
+
+        def close(self) -> None:
+            pass
+
+    return _RunState()
+
+
+def run_state_stream_tws(
+    values: DataFrame,
+    key_col: str,
+    ts_col: str,
+    running_col: str,
+    shutdown_window_s: int,
+    transition_window_s: int,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming T6 on the Spark-4 transformWithStateInPandas API —
+    the second TWS twin (SURVEY.md §7.5.7), exact same semantics as
+    run_state_stream re-expressed with typed ValueState. timeMode
+    'none': the machine registers no timers (emission is row-driven),
+    so only the watermark's late-row drop involves event time."""
+    out_schema = (
+        f"{key_col} string, ts_ms long, running boolean, run_state string"
+    )
+    with_time = values.withColumn(
+        "event_time", F.timestamp_millis(F.col(ts_col))
+    )
+    return (
+        with_time.withWatermark("event_time", watermark)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            make_run_state_processor(
+                key_col, ts_col, running_col,
+                shutdown_window_s, transition_window_s,
+            ),
+            out_schema, "append", "none",
+        )
+    )
+
+
+def run_state_stream_auto(
+    values: DataFrame,
+    key_col: str,
+    ts_col: str,
+    running_col: str,
+    shutdown_window_s: int,
+    transition_window_s: int,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Runtime dispatch (SURVEY.md §7.5.7): transformWithStateInPandas
+    when the session's PySpark can run it, applyInPandasWithState
+    otherwise. Both twins produce identical labeled rows."""
+    impl = run_state_stream_tws if tws_available() else run_state_stream
+    return impl(
+        values, key_col, ts_col, running_col,
+        shutdown_window_s, transition_window_s, watermark,
+    )
+
+
 def run_state_stream(
     values: DataFrame,
     key_col: str,
@@ -441,30 +580,12 @@ def run_state_stream(
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
             for ts, running in zip(pdf[ts_col], pdf[running_col]):
-                ts = int(ts)
-                if not running:
-                    if down_since is None:
-                        down_since = ts
-                    if st != SHUTDOWN and ts - down_since >= shutdown_window_s * 1000:
-                        st = SHUTDOWN
-                        # only a full shutdown clears the STARTING clock:
-                        # the reference keeps start_time across brief dips
-                        # (process_odr.py:1050-1065)
-                        start_since = None
-                    label = SHUTDOWN if st == SHUTDOWN else RUNNING
-                else:
-                    if st == SHUTDOWN:
-                        st = STARTING
-                        start_since = ts
-                    down_since = None
-                    if st == STARTING:
-                        if start_since is None:  # resumed from persisted state
-                            start_since = ts
-                        if ts - start_since >= transition_window_s * 1000:
-                            st = RUNNING
-                            start_since = None
-                    label = st
-                rows.append((k, ts, bool(running), label))
+                ts, running = int(ts), bool(running)
+                st, down_since, start_since, label = _run_state_step(
+                    st, down_since, start_since, ts, running,
+                    shutdown_window_s * 1000, transition_window_s * 1000,
+                )
+                rows.append((k, ts, running, label))
         state.update((st, down_since, start_since))
         yield pd.DataFrame(rows, columns=[key_col, "ts_ms", "running", "run_state"])
 

@@ -6,6 +6,7 @@ Oracles are verbatim ports of the reference's per-row loops:
 - run-state machine: process_odr.py:1028-1084
 """
 
+import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -127,7 +128,19 @@ def test_run_state_batch_matches_oracle(spark, run_frame):
     assert not mismatches, mismatches[:10]
 
 
-def test_run_state_stream_matches_batch(spark, run_frame, tmp_path):
+def _run_state_impl(name):
+    """'state' = applyInPandasWithState, 'tws' = the Spark-4
+    transformWithStateInPandas twin (skipped where the TWS state
+    server can't start)."""
+    if name == "tws":
+        if not stateful.tws_available():
+            pytest.skip("transformWithStateInPandas not runnable here")
+        return stateful.run_state_stream_tws
+    return stateful.run_state_stream
+
+
+@pytest.mark.parametrize("impl_name", ["state", "tws"])
+def test_run_state_stream_matches_batch(spark, run_frame, tmp_path, impl_name):
     df, pdf = run_frame
     from sparkfp import streaming
     from sparkfp.sink import ExactlyOnceParquetSink
@@ -143,7 +156,7 @@ def test_run_state_stream_matches_batch(spark, run_frame, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    labeled = stateful.run_state_stream(
+    labeled = _run_state_impl(impl_name)(
         src, "k", "ts_ms", "running",
         shutdown_window_s=600, transition_window_s=900,
     )
@@ -452,4 +465,45 @@ def test_tws_rate_limit_processor_logic_with_stub_state():
     assert not handle.states["buf"].rows
     assert not handle.timers
     assert handle.states["last_emit"].v == (base + 90 * m,)
+    proc.close()
+
+
+def test_tws_run_state_processor_logic_with_stub_state():
+    """Drives the transformWithStateInPandas run-state machine's
+    StatefulProcessor through stubbed typed state (runnable even where
+    the TWS state server can't start). Rows arrive shuffled WITHIN each
+    micro-batch (the processor must sort); labels across batches must
+    equal the independent per-row oracle, and the persisted ValueState
+    must carry the machine across batches."""
+    proc = stateful.make_run_state_processor(
+        "k", "ts_ms", "running", shutdown_window_s=600,
+        transition_window_s=900,
+    )
+    handle = _StubHandle()
+    proc.init(handle)
+
+    ts = pd.date_range("2026-01-01", periods=120, freq="1min")
+    running = (
+        [True] * 20 + [False] * 30 + [True] * 5 + [False] * 2
+        + [True] * 33 + [False] * 5 + [True] * 25
+    )
+    ts_ms = [int(t.timestamp() * 1000) for t in ts]
+    exp = _run_state_oracle(list(ts), running, 600, 900)
+
+    got = {}
+    rng = np.random.default_rng(4)
+    for lo in range(0, 120, 30):  # 4 micro-batches, shuffled internally
+        rows = list(range(lo, min(lo + 30, 120)))
+        rng.shuffle(rows)
+        pdf = pd.DataFrame({
+            "k": ["E1"] * len(rows),
+            "ts_ms": [ts_ms[i] for i in rows],
+            "running": [running[i] for i in rows],
+        })
+        for out in proc.handleInputRows(("E1",), iter([pdf]), _StubTimerValues(0)):
+            for t, lab in zip(out.ts_ms, out.run_state):
+                got[int(t)] = lab
+    assert [got[t] for t in ts_ms] == exp
+    # machine state persisted after the final batch (RUNNING steady)
+    assert handle.states["machine"].v[0] == "RUNNING"
     proc.close()
