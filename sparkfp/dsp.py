@@ -30,6 +30,54 @@ N_BANDS = 6
 PEAK_FACTOR = 2.0  # band peak must exceed PEAK_FACTOR * frame-set mean magnitude
 FAN_OUT = 5  # targets per anchor
 MAX_DT_FRAMES = 32  # pairing window
+SR_REF = 8000  # canonical analysis rate: clips at any sr_hz normalize here
+RESAMPLE_HALF_TAPS = 16  # windowed-sinc kernel half-width at the wider band
+
+
+def resample(
+    pcm: np.ndarray, sr_in: int, sr_out: int,
+    half_taps: int = RESAMPLE_HALF_TAPS,
+) -> np.ndarray:
+    """Windowed-sinc fractional resampler, fully vectorized.
+
+    The input-table contract carries a per-clip ``sr_hz`` column — a
+    web-scale corpus is mixed-rate, so probe clips must be normalized
+    to SR_REF before the STFT or their landmark hashes live in a
+    different bin space than the index. Kernel: Hann-windowed sinc at
+    cutoff min(1, sr_out/sr_in) (anti-aliasing when downsampling, with
+    the kernel widened by 1/cutoff to keep the transition band
+    proportional), edge-hold padding, per-output-sample DC
+    normalization. Output time axis is preserved (t_out = t_in), so
+    match offsets stay in source-track milliseconds. The gather matrix
+    is built in bounded chunks to keep per-clip memory flat inside
+    Arrow workers."""
+    if sr_in == sr_out:
+        return np.asarray(pcm, dtype=np.float32)
+    if sr_in <= 0 or sr_out <= 0:
+        raise ValueError(f"bad sample rates {sr_in} -> {sr_out}")
+    x = np.asarray(pcm, dtype=np.float64)
+    n_in = len(x)
+    n_out = int(round(n_in * sr_out / sr_in))
+    if n_in == 0 or n_out == 0:
+        return np.zeros(0, dtype=np.float32)
+    cutoff = min(1.0, sr_out / sr_in)
+    h_taps = int(np.ceil(half_taps / cutoff))
+    k = np.arange(-h_taps + 1, h_taps + 1, dtype=np.float64)
+    out = np.empty(n_out, dtype=np.float64)
+    for lo in range(0, n_out, 65536):
+        hi = min(lo + 65536, n_out)
+        t = np.arange(lo, hi, dtype=np.float64) * (sr_in / sr_out)
+        i0 = np.floor(t).astype(np.int64)
+        frac = t - i0
+        d = k[None, :] - frac[:, None]
+        kern = cutoff * np.sinc(cutoff * d)
+        kern *= np.where(
+            np.abs(d) < h_taps, 0.5 + 0.5 * np.cos(np.pi * d / h_taps), 0.0
+        )
+        kern /= kern.sum(axis=1, keepdims=True)
+        idx = np.clip(i0[:, None] + k[None, :].astype(np.int64), 0, n_in - 1)
+        out[lo:hi] = (x[idx] * kern).sum(axis=1)
+    return out.astype(np.float32)
 
 
 def stft_mag(pcm: np.ndarray, n_fft: int = N_FFT, hop: int = HOP) -> np.ndarray:
@@ -114,11 +162,15 @@ def landmark_hashes(peaks: np.ndarray, sr_hz: int) -> tuple[np.ndarray, np.ndarr
 def extract_clip_landmarks(
     raw: bytes, codec_name: str, sr_hz: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    """bytes -> (hashes, t_ms). The full per-clip DSP chain."""
+    """bytes -> (hashes, t_ms). The full per-clip DSP chain; clips at
+    any sample rate normalize to SR_REF first (mixed-rate corpus
+    support — hashes must share one STFT bin space with the index)."""
     pcm = codec.decode(raw, codec_name)
+    if sr_hz != SR_REF:
+        pcm = resample(pcm, sr_hz, SR_REF)
     mag = stft_mag(pcm)
     peaks = constellation_peaks(mag)
-    return landmark_hashes(peaks, sr_hz)
+    return landmark_hashes(peaks, SR_REF)
 
 
 # ---------------------------------------------------------------- Spark plumbing

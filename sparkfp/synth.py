@@ -119,22 +119,29 @@ def hash_str(s: str) -> int:
     return h & 0x7FFFFFFFFFFFFFFF
 
 
-def track_pcm(track_id: str, dur_ms: int = 20_000, seed: int = 42) -> np.ndarray:
+def track_pcm(
+    track_id: str, dur_ms: int = 20_000, seed: int = 42,
+    sr_hz: int = SR_HZ,
+) -> np.ndarray:
     """Deterministic 'song': a note every _NOTE_MS, two simultaneous
-    voices, float32 PCM in [-1, 1] at SR_HZ.
+    voices, float32 PCM in [-1, 1] at ``sr_hz`` (default SR_HZ).
 
     Note frequencies are drawn from a continuous range (not a 12-tone
     scale): quantizing to a scale collapses the landmark-hash space to
     a few thousand values, which makes the match join combinatorially
     heavier (every probe hash hits most tracks) and unrepresentative —
     real audio spreads peaks over the full bin range.
+
+    The rng draws are independent of ``sr_hz``, so the SAME music
+    evaluated at another rate is the closed-form ground truth for
+    mixed-sample-rate tests (no resampler involved in constructing it).
     """
     rng = _id_rng(seed, track_id)
-    n = int(SR_HZ * dur_ms / 1000)
-    t = np.arange(n, dtype=np.float64) / SR_HZ
+    n = int(sr_hz * dur_ms / 1000)
+    t = np.arange(n, dtype=np.float64) / sr_hz
     pcm = np.zeros(n, dtype=np.float64)
     n_notes = dur_ms // _NOTE_MS
-    note_len = int(SR_HZ * _NOTE_MS / 1000)
+    note_len = int(sr_hz * _NOTE_MS / 1000)
     for v in range(2):  # two voices
         lo, hi = (100.0, 1200.0) if v == 0 else (1200.0, 3500.0)
         freqs = rng.uniform(lo, hi, size=n_notes)

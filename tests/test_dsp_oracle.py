@@ -38,6 +38,10 @@ def test_contract_constants_agree():
     )
     assert orc.PEAK_FACTOR == dsp.PEAK_FACTOR
     assert orc.band_edges() == list(dsp._BAND_EDGES)
+    assert (orc.SR_REF, orc.RESAMPLE_HALF_TAPS) == (
+        dsp.SR_REF,
+        dsp.RESAMPLE_HALF_TAPS,
+    )
     assert (orc.OFFSET_BIN_MS, orc.MIN_VOTES, orc.MIN_SCORE) == (
         matching.OFFSET_BIN_MS,
         matching.MIN_VOTES,
@@ -133,3 +137,57 @@ def test_no_fixture_contains_negative_zero():
                 vals = pdf[c].dropna().to_numpy()
                 bad = np.signbit(vals) & (vals == 0.0)
                 assert not bad.any(), f"{name}.{c}: fixture contains -0.0"
+
+
+# ---------------------------------------------------- mixed sample rate
+
+
+def test_resample_engine_equals_oracle_scalar():
+    """Chunked gather-matrix resampler == the oracle's literal
+    per-output-sample sinc loop, across up/down/fractional ratios."""
+    rng = np.random.default_rng(9)
+    x = np.clip(
+        0.5 * np.sin(0.05 * np.arange(2500))
+        + 0.05 * rng.standard_normal(2500),
+        -1, 1,
+    ).astype(np.float32)
+    for sr_in, sr_out in ((16000, 8000), (8000, 16000), (44100, 8000),
+                          (11025, 8000)):
+        eng = dsp.resample(x, sr_in, sr_out).astype(np.float64)
+        ora = np.array(
+            orc._resample_scalar([float(v) for v in x], sr_in, sr_out)
+        )
+        assert eng.shape == ora.shape
+        assert np.abs(eng - ora).max() < 1e-6  # float32 output cast
+
+
+def test_resample_sine_fidelity():
+    """A mid-band tone survives rate conversion nearly unscathed: the
+    resampled signal must track the analytically generated tone at the
+    target rate (>=40 dB, interior samples)."""
+    f = 700.0
+    for sr_in, sr_out in ((8000, 16000), (16000, 8000), (44100, 8000)):
+        n_in = sr_in  # 1 second
+        x = (0.5 * np.sin(2 * np.pi * f * np.arange(n_in) / sr_in)).astype(
+            np.float32
+        )
+        y = dsp.resample(x, sr_in, sr_out)
+        n_out = len(y)
+        ref = (0.5 * np.sin(2 * np.pi * f * np.arange(n_out) / sr_out)).astype(
+            np.float32
+        )
+        cut = 64  # edge-hold padding distorts the first/last taps
+        assert codec.snr_db(ref[cut:-cut], y[cut:-cut]) >= 40.0
+
+
+def test_landmarks_at_foreign_rate_engine_equals_oracle():
+    """A 16 kHz clip: the engine resamples to SR_REF inside
+    extract_clip_landmarks; the oracle resamples with its scalar loop.
+    The landmark multisets must agree exactly."""
+    pcm16 = synth.track_pcm(TRACK_IDS[0], dur_ms=2000, sr_hz=16000)
+    raw = codec.encode(pcm16, "pcm_s16le")
+    h, t = dsp.extract_clip_landmarks(raw, "pcm_s16le", 16000)
+    eng = Counter(zip(h.tolist(), t.tolist()))
+    ora = Counter(orc.clip_landmarks(raw, "pcm_s16le", 16000))
+    assert eng == ora
+    assert sum(eng.values()) > 0

@@ -216,3 +216,49 @@ def test_audio_fixtures_current(spark):
                 assert np.array_equal(
                     np.signbit(a), np.signbit(b)
                 ), f"{name}.{c}: engine/fixture sign-bit drift"
+
+
+def test_match_pipeline_mixed_sample_rates(spark, index):
+    """A real web corpus is mixed-rate: the sr_hz column varies per
+    clip. Clips are synthesized ANALYTICALLY at 16/44.1 kHz (same
+    closed-form music, no resampler involved in construction); the
+    engine must normalize them to SR_REF internally and still match
+    the 8 kHz-indexed tracks at the right offsets, while foreign-rate
+    noise stays rejected."""
+    from sparkfp import schema
+
+    tids = synth.default_track_ids(N_TRACKS)
+    rows, expected = [], {}
+    rng = np.random.default_rng(77)
+    for i, sr in enumerate((16000, 44100, 16000, 44100)):
+        cid = f"mix_{i}_{sr}"
+        tid = tids[i % N_TRACKS]
+        off_ms = 2000 + 1500 * i
+        track = synth.track_pcm(tid, sr_hz=sr)
+        s = int(sr * off_ms / 1000)
+        pcm = track[s: s + 5 * sr].copy()  # 5-second excerpt
+        pcm += (0.01 * rng.standard_normal(len(pcm))).astype(np.float32)
+        rows.append(
+            (cid, codec.encode(np.clip(pcm, -1, 1), "pcm_s16le"), sr,
+             5000, "pcm_s16le", "", 1_700_000_000_000)
+        )
+        expected[cid] = (tid, off_ms)
+    # foreign-rate noise must be rejected
+    rows.append(
+        ("mix_noise_44100",
+         codec.encode(
+             (0.1 * rng.standard_normal(3 * 44100)).astype(np.float32),
+             "pcm_s16le",
+         ),
+         44100, 3000, "pcm_s16le", "", 1_700_000_000_000)
+    )
+    clips16 = spark.createDataFrame(rows, schema.CLIP)
+    got = {
+        r.clip_id: (r.matched_track, r.offset_ms)
+        for r in matching.match_pipeline(clips16, index).collect()
+    }
+    assert set(got) == set(expected)
+    for cid, (tid, off_ms) in expected.items():
+        gt, go = got[cid]
+        assert gt == tid, f"{cid}: matched {gt}, expected {tid}"
+        assert abs(go - off_ms) <= 200, f"{cid}: offset {go} vs {off_ms}"

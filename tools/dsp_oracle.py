@@ -46,6 +46,8 @@ N_BANDS = 6
 PEAK_FACTOR = 2.0
 FAN_OUT = 5
 MAX_DT_FRAMES = 32
+SR_REF = 8000
+RESAMPLE_HALF_TAPS = 16
 OFFSET_BIN_MS = 100
 MIN_VOTES = 200
 MIN_SCORE = 50.0
@@ -312,8 +314,47 @@ def landmarks(pks: list[tuple[int, int]], sr_hz: int) -> list[tuple[int, int]]:
     return out
 
 
+def _resample_scalar(
+    vals: list[float], sr_in: int, sr_out: int,
+    half_taps: int = RESAMPLE_HALF_TAPS,
+) -> list[float]:
+    """Literal per-output-sample windowed-sinc loop (Hann window,
+    cutoff min(1, ratio), kernel widened by 1/cutoff, edge-hold,
+    per-sample DC normalization) — the resampling contract restated
+    independently of the engine's chunked gather-matrix form
+    (sparkfp/dsp.py resample)."""
+    if sr_in == sr_out:
+        return list(vals)
+    n_in = len(vals)
+    n_out = int(round(n_in * sr_out / sr_in))
+    cutoff = min(1.0, sr_out / sr_in)
+    h_taps = int(math.ceil(half_taps / cutoff))
+    out = []
+    for n in range(n_out):
+        t = n * sr_in / sr_out
+        i0 = math.floor(t)
+        acc = wsum = 0.0
+        for k in range(-h_taps + 1, h_taps + 1):
+            d = k - (t - i0)
+            if abs(d) >= h_taps:
+                continue
+            if d == 0.0:
+                w = cutoff
+            else:
+                w = cutoff * math.sin(math.pi * cutoff * d) / (math.pi * cutoff * d)
+            w *= 0.5 + 0.5 * math.cos(math.pi * d / h_taps)
+            src = min(max(i0 + k, 0), n_in - 1)
+            acc += vals[src] * w
+            wsum += w
+        out.append(acc / wsum)
+    return out
+
+
 def clip_landmarks(raw: bytes, codec_name: str, sr_hz: int) -> list[tuple[int, int]]:
-    return landmarks(peaks(spectrogram(decode(raw, codec_name))), sr_hz)
+    vals = decode(raw, codec_name)
+    if sr_hz != SR_REF:
+        vals = _resample_scalar(vals, sr_hz, SR_REF)
+    return landmarks(peaks(spectrogram(vals)), SR_REF)
 
 
 # --------------------------------------------------------------- match
