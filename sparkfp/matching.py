@@ -253,3 +253,78 @@ def match_pipeline(
         broadcast_index=broadcast_index,
         clip_meta=clips,
     )
+
+
+# ------------------------------------------------- audio near-duplicates
+
+
+def near_dup_audio_pairs(
+    clips: DataFrame,
+    min_jaccard: float = 0.2,
+    max_hash_df: int = 64,
+    id_col: str = "clip_id",
+) -> DataFrame:
+    """Fingerprint-based audio near-duplicate pairs.
+
+    A training-data pipeline over 10^12 clips must drop re-encodes of
+    the same recording (other codec, other sample rate, re-compressed)
+    before they skew the corpus. Landmark hashes are exactly the right
+    invariant: decode -> resample-to-SR_REF -> constellation hashes
+    survive G.711/ADPCM recompression and rate conversion, so two
+    encodings of one recording share most of their hash sets while
+    distinct recordings share almost none (Wang 2003's robustness
+    property, reused for dedup instead of lookup).
+
+    Plan (all relational, shuffle-bounded):
+      landmarks -> distinct (clip, hash)
+        -> drop hub hashes with document frequency > ``max_hash_df``
+           (a hash shared by many clips carries no pair information
+           but would quadratically inflate the self-join — the
+           standard posting-list cap; at 10^12 clips this cap is what
+           keeps the join linear in corpus size)
+        -> self-join on hash (co-partitioned by the join key)
+        -> per-pair shared-hash count
+        -> Jaccard vs each clip's distinct-hash count, threshold.
+
+    Returns (clip_a, clip_b, shared, jaccard), clip_a < clip_b.
+    Reference parity anchor: the same landmark chain the reference
+    builds its lookup index from (src/flink_job/job.py:63-75) — dedup
+    is the index join turned on the corpus itself.
+    """
+    lm = dsp.landmarks(clips, id_col=id_col)
+    h = lm.select(F.col(id_col).alias("cid"), "hash").distinct()
+    rare = h.groupBy("hash").agg(F.count("*").alias("df")).where(
+        F.col("df") <= max_hash_df
+    )
+    h = h.join(rare.select("hash"), "hash")
+    sizes = h.groupBy("cid").agg(F.count("*").alias("n_hashes"))
+    a, b = h.alias("a"), h.alias("b")
+    pairs = (
+        a.join(b, "hash")
+        .where(F.col("a.cid") < F.col("b.cid"))
+        .groupBy(
+            F.col("a.cid").alias("clip_a"), F.col("b.cid").alias("clip_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        pairs.join(
+            sizes.select(
+                F.col("cid").alias("clip_a"), F.col("n_hashes").alias("n_a")
+            ),
+            "clip_a",
+        )
+        .join(
+            sizes.select(
+                F.col("cid").alias("clip_b"), F.col("n_hashes").alias("n_b")
+            ),
+            "clip_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("shared")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+    return out.select("clip_a", "clip_b", "shared", F.round("jaccard", 6).alias("jaccard"))

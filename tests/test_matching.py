@@ -262,3 +262,67 @@ def test_match_pipeline_mixed_sample_rates(spark, index):
         gt, go = got[cid]
         assert gt == tid, f"{cid}: matched {gt}, expected {tid}"
         assert abs(go - off_ms) <= 200, f"{cid}: offset {go} vs {off_ms}"
+
+
+def test_audio_near_dup_reencodes_cluster(spark):
+    """Dedup for a training corpus: the same recording re-encoded
+    (G.711 A-law, IMA ADPCM, and an analytic 16 kHz re-render) must
+    pair with every other variant of itself via landmark-hash Jaccard,
+    and never with a different recording. The expected pair set is
+    recomputed scalar-side from the oracle's landmark extractor with
+    the same hub-hash cap — a genuine second computation of the
+    pair list."""
+    import itertools
+
+    import pandas as pd
+
+    import tools.dsp_oracle as orc
+    from sparkfp import schema
+
+    tids = synth.default_track_ids(3)
+    rows = []
+    for tid in tids:
+        pcm8 = synth.track_pcm(tid, dur_ms=6000)
+        pcm16 = synth.track_pcm(tid, dur_ms=6000, sr_hz=16000)
+        rows += [
+            (f"{tid}:pcm", codec.encode(pcm8, "pcm_s16le"), 8000, 6000,
+             "pcm_s16le", "", 0),
+            (f"{tid}:alaw", codec.encode(pcm8, "alaw"), 8000, 6000,
+             "alaw", "", 0),
+            (f"{tid}:adpcm", codec.encode(pcm8, "adpcm"), 8000, 6000,
+             "adpcm", "", 0),
+            (f"{tid}:sr16", codec.encode(pcm16, "pcm_s16le"), 16000, 6000,
+             "pcm_s16le", "", 0),
+        ]
+    clips = spark.createDataFrame(rows, schema.CLIP)
+    got = {
+        (r.clip_a, r.clip_b)
+        for r in matching.near_dup_audio_pairs(clips).collect()
+    }
+    # scalar recomputation: oracle landmark hash sets -> df cap ->
+    # pairwise jaccard
+    sets = {
+        cid: {h for h, _ in orc.clip_landmarks(raw, cname, sr)}
+        for cid, raw, sr, _, cname, _, _ in rows
+    }
+    df = {}
+    for s in sets.values():
+        for h in s:
+            df[h] = df.get(h, 0) + 1
+    sets = {c: {h for h in s if df[h] <= 64} for c, s in sets.items()}
+    exp = set()
+    for ca, cb in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[ca] & sets[cb])
+        union = len(sets[ca] | sets[cb])
+        if union and inter / union >= 0.2:
+            exp.add((ca, cb))
+    assert got == exp
+    # every same-recording pair present, no cross-recording pairs
+    for tid in tids:
+        variants = sorted(
+            f"{tid}:{v}" for v in ("pcm", "alaw", "adpcm", "sr16")
+        )
+        for ca, cb in itertools.combinations(variants, 2):
+            assert (ca, cb) in got, f"missing self-pair {ca},{cb}"
+    for ca, cb in got:
+        assert ca.split(":")[0] == cb.split(":")[0], f"false pair {ca},{cb}"
