@@ -280,9 +280,18 @@ def near_dup_suppress_batch(
     block later docs), which is what makes the streaming twin's
     band-keyed state sufficient: no cross-key negotiation is needed.
     One shuffle on (band_idx, band) + one on id."""
+    banded = banded_docs(df, id_col, text_col, ts_col, n_hashes, n_bands, k)
+    return suppress_from_banded(df, banded, id_col, ts_col)
+
+
+def suppress_from_banded(
+    df: DataFrame, banded: DataFrame, id_col: str, ts_col: str
+) -> DataFrame:
+    """Generic half of the batch suppressor: given (id, ts, band_idx,
+    band) rows from ANY bander (text shingles, audio landmark minhash),
+    keep rows that are first on every one of their bands."""
     from pyspark.sql.window import Window
 
-    banded = banded_docs(df, id_col, text_col, ts_col, n_hashes, n_bands, k)
     w = Window.partitionBy("band_idx", "band").orderBy(ts_col, id_col)
     survivors = (
         banded.withColumn("_first", F.row_number().over(w) == 1)
@@ -304,6 +313,7 @@ def near_dup_band_verdicts_stream(
     n_bands: int = 4,
     k: int = 3,
     claims: DataFrame | None = None,
+    bander=None,
 ) -> DataFrame:
     """Streaming half of the near-dup suppressor: per-(band_idx, band)
     keyed state buffers (ts, id) rows until the watermark passes them,
@@ -336,8 +346,14 @@ def near_dup_band_verdicts_stream(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    banded = banded_docs(
-        stream, id_col, text_col, ts_col, n_hashes, n_bands, k
+    # ``bander``: optional (stream -> (id, ts, band_idx, band)) stage
+    # replacing the text shingle/minhash default — how the audio
+    # landmark-minhash twin reuses this whole stateful suppressor
+    # (sparkfp/matching.py banded_clips). Everything downstream is
+    # banding-agnostic.
+    banded = (
+        bander(stream) if bander is not None
+        else banded_docs(stream, id_col, text_col, ts_col, n_hashes, n_bands, k)
     ).withColumn("event_time", F.timestamp_millis(F.col(ts_col)))
     if claims is not None:
         # prior-epoch claimed bands, broadcast: every row of a claimed
@@ -492,12 +508,14 @@ class NearDupEpochs:
         n_hashes: int = 16,
         n_bands: int = 4,
         k: int = 3,
+        bander=None,
     ):
         self.spark = spark
         self.root = root_dir.rstrip("/")
         self.id_col, self.text_col, self.ts_col = id_col, text_col, ts_col
         self.watermark = watermark
         self.n_hashes, self.n_bands, self.k = n_hashes, n_bands, k
+        self.bander = bander  # see near_dup_band_verdicts_stream
         self.last_state_rows: list[int] | None = None
 
     def _claims_dir(self) -> str:
@@ -529,6 +547,7 @@ class NearDupEpochs:
             stream, self.id_col, self.text_col, self.ts_col,
             watermark=self.watermark, n_hashes=self.n_hashes,
             n_bands=self.n_bands, k=self.k, claims=self.claims(),
+            bander=self.bander,
         )
         q = (
             verdicts.writeStream.format("parquet")

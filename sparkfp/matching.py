@@ -23,8 +23,10 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from . import dsp
@@ -328,3 +330,127 @@ def near_dup_audio_pairs(
         .where(F.col("jaccard") >= min_jaccard)
     )
     return out.select("clip_a", "clip_b", "shared", F.round("jaccard", 6).alias("jaccard"))
+
+
+def clip_signatures(
+    clips: DataFrame, id_col: str = "clip_id", n_hashes: int = 16
+) -> DataFrame:
+    """(clip_id, event_ms, sig) — MinHash signature over each clip's
+    distinct landmark-hash set, computed INSIDE the same Arrow pass as
+    landmark extraction (decode -> resample -> STFT -> hashes ->
+    minhash per row). No shuffle and no stateful aggregation, so the
+    stage is streaming-safe and embarrassingly parallel — the property
+    the banded suppressor needs upstream of its keyed state.
+
+    Hash scheme is the same contract as the text MinHash
+    (sparkfp/dedup.py minhash_signature_udf): md5 hex of
+    ``"{i}:{value}"``, lexicographic min, with the landmark hash's
+    decimal string as the value — so dedup.lsh_bands consumes the
+    signature unchanged. Clips with zero landmarks are dropped (an
+    empty fingerprint cannot claim a band).
+    """
+    import hashlib
+    from collections.abc import Iterator
+
+    out_schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType(), False),
+            T.StructField("event_ms", T.LongType(), False),
+            T.StructField("sig", T.ArrayType(T.StringType()), False),
+        ]
+    )
+    cols = [id_col, "bytes", "sr_hz", "codec", "event_ms"]
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for cid, raw, sr, cname, ev in zip(
+                pdf[id_col], pdf["bytes"], pdf["sr_hz"], pdf["codec"],
+                pdf["event_ms"],
+            ):
+                h, _ = dsp.extract_clip_landmarks(bytes(raw), cname, int(sr))
+                if len(h) == 0:
+                    continue
+                mins: list[str | None] = [None] * n_hashes
+                for v in set(h.tolist()):
+                    for i in range(n_hashes):
+                        d = hashlib.md5(f"{i}:{v}".encode()).hexdigest()
+                        if mins[i] is None or d < mins[i]:
+                            mins[i] = d
+                out.append((cid, int(ev), mins))
+            if not out:
+                yield pd.DataFrame(
+                    {
+                        "clip_id": pd.Series([], dtype=object),
+                        "event_ms": pd.Series([], dtype="int64"),
+                        "sig": pd.Series([], dtype=object),
+                    }
+                )
+                continue
+            yield pd.DataFrame(out, columns=["clip_id", "event_ms", "sig"])
+
+    return clips.select(*cols).mapInPandas(extract, out_schema)
+
+
+def banded_clips(
+    clips: DataFrame,
+    id_col: str = "clip_id",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """(clip_id, event_ms, band_idx, band): the audio bander for the
+    generic near-dup suppressors (dedup.suppress_from_banded and the
+    streaming band-claim state op). dedup.lsh_bands runs over the
+    ALREADY-materialized signature column (the Python eval node is a
+    plan barrier), the same plan shape the text path uses to stay in
+    whole-stage codegen through the posexplode."""
+    from . import dedup
+
+    sig = clip_signatures(clips, id_col, n_hashes)
+    return sig.select(
+        F.col("clip_id").alias(id_col),
+        "event_ms",
+        F.posexplode(
+            dedup.lsh_bands(F.col("sig"), n_bands, n_hashes // n_bands)
+        ).alias("band_idx", "band"),
+    )
+
+
+def near_dup_clips_batch(
+    clips: DataFrame,
+    id_col: str = "clip_id",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Greedy first-wins audio near-dup filter, batch form: a clip
+    survives iff it is the earliest (event_ms, id tiebreak) on every
+    one of its landmark-minhash LSH bands. Re-encodes and resampled
+    copies of a recording land on the same bands (their landmark sets
+    nearly coincide), so only the first-seen copy survives."""
+    from . import dedup
+
+    banded = banded_clips(clips, id_col, n_hashes, n_bands)
+    return dedup.suppress_from_banded(clips, banded, id_col, "event_ms")
+
+
+def near_dup_clips_stream(
+    stream: DataFrame,
+    id_col: str = "clip_id",
+    watermark: str = "10 seconds",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    claims: DataFrame | None = None,
+) -> DataFrame:
+    """Streaming twin of near_dup_clips_batch: the audio bander plugged
+    into the generic band-claim stateful suppressor (watermark-ordered
+    release, strict t < wm, epoch claims compaction — see
+    dedup.near_dup_band_verdicts_stream). Collapse per-clip with
+    dedup.collapse_band_verdicts(..., n_bands)."""
+    from . import dedup
+
+    return dedup.near_dup_band_verdicts_stream(
+        stream, id_col, None, "event_ms",
+        watermark=watermark, n_hashes=n_hashes, n_bands=n_bands,
+        claims=claims,
+        bander=lambda s: banded_clips(s, id_col, n_hashes, n_bands),
+    )

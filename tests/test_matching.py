@@ -326,3 +326,92 @@ def test_audio_near_dup_reencodes_cluster(spark):
             assert (ca, cb) in got, f"missing self-pair {ca},{cb}"
     for ca, cb in got:
         assert ca.split(":")[0] == cb.split(":")[0], f"false pair {ca},{cb}"
+
+
+def test_near_dup_clips_batch_and_stream_agree(spark, tmp_path):
+    """Audio near-dup suppression: the landmark-minhash bander plugged
+    into the generic band-claim machinery. Batch: the earliest variant
+    of each recording survives; its re-encodes are suppressed;
+    unrelated recordings survive. Stream (shuffled arrival inside the
+    watermark): identical survivor set."""
+    import time
+
+    from sparkfp import dedup, schema
+    from sparkfp.sink import ExactlyOnceParquetSink
+
+    h = 3600 * 1000
+    base = 1_700_000_000_000
+    tids = synth.default_track_ids(5)
+    rows_by_id = {}
+    for i, tid in enumerate(tids[:3]):
+        pcm8 = synth.track_pcm(tid, dur_ms=6000)
+        for j, (vname, raw, sr, cname) in enumerate([
+            ("pcm", codec.encode(pcm8, "pcm_s16le"), 8000, "pcm_s16le"),
+            ("alaw", codec.encode(pcm8, "alaw"), 8000, "alaw"),
+            ("adpcm", codec.encode(pcm8, "adpcm"), 8000, "adpcm"),
+        ]):
+            cid = f"{tid}:{vname}"
+            rows_by_id[cid] = (
+                cid, raw, sr, 6000, cname, "", base + i * 10 * h + j * h
+            )
+    for tid in tids[3:]:
+        pcm8 = synth.track_pcm(tid, dur_ms=6000)
+        rows_by_id[f"{tid}:only"] = (
+            f"{tid}:only", codec.encode(pcm8, "pcm_s16le"), 8000, 6000,
+            "pcm_s16le", "", base + 5 * h,
+        )
+    expect = {f"{t}:pcm" for t in tids[:3]} | {
+        f"{t}:only" for t in tids[3:]
+    }
+
+    df = spark.createDataFrame(list(rows_by_id.values()), schema.CLIP)
+    got_batch = {
+        r.clip_id for r in matching.near_dup_clips_batch(df).collect()
+    }
+    assert got_batch == expect
+
+    # ---- stream: later variants arrive BEFORE their originals
+    src, sink_dir, ckpt = (
+        str(tmp_path / "asrc"), str(tmp_path / "asink"), str(tmp_path / "ackpt")
+    )
+    flush_id = "zz_flush"
+    rows_by_id[flush_id] = (
+        flush_id,
+        codec.encode(synth.track_pcm("zz_track", dur_ms=4000), "pcm_s16le"),
+        8000, 4000, "pcm_s16le", "", base + 200 * h,
+    )
+    order = sorted(rows_by_id)
+    arrival = [
+        [c for c in order if c.endswith(":alaw")],
+        [c for c in order if c.endswith(":pcm") or c.endswith(":only")],
+        [c for c in order if c.endswith(":adpcm")],
+        [flush_id],
+    ]
+    for group in arrival:
+        spark.createDataFrame(
+            [rows_by_id[c] for c in group], schema.CLIP
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)
+    stream = (
+        spark.readStream.schema(schema.CLIP)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    verdicts = matching.near_dup_clips_stream(stream, watermark="20 hours")
+    sink = ExactlyOnceParquetSink(sink_dir)
+
+    def emit(batch_df, batch_id):
+        sink(dedup.collapse_band_verdicts(batch_df, "clip_id"), batch_id)
+
+    q = (
+        verdicts.writeStream.foreachBatch(emit)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got_stream = {
+        r.clip_id for r in sink.read(spark).collect() if r.clip_id != flush_id
+    }
+    assert got_stream == expect
