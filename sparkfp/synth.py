@@ -308,6 +308,38 @@ def image_bytes(
     )
 
 
+def mixed_rate_clip_rows(
+    track_ids: list[str],
+    specs: tuple = ((16000, 0, 3000), (22050, 1, 4500)),
+    dur_ms: int = 5000,
+) -> list[tuple]:
+    """Foreign-sample-rate probe clips, synthesized ANALYTICALLY at the
+    foreign rate (same closed-form music, no resampler in the input
+    path). Input construction shared by the entry query and the fixture
+    generator — the oracle matches them through its own scalar-sinc
+    resampler, so the engine's rate normalization sits behind the
+    driver's hash gate. Each spec is (sr_hz, track index, offset_ms)."""
+    rows = []
+    for sr, ti, off_ms in specs:
+        tid = track_ids[ti % len(track_ids)]
+        track = track_pcm(tid, sr_hz=sr)
+        s = int(sr * off_ms / 1000)
+        pcm = track[s: s + int(sr * dur_ms / 1000)]
+        cid = f"mix{sr}_{tid}"
+        rows.append(
+            (
+                cid,
+                codec.encode(pcm, "pcm_s16le"),
+                sr,
+                dur_ms,
+                "pcm_s16le",
+                transcript_for(cid),
+                1_700_000_000_000,
+            )
+        )
+    return rows
+
+
 def paletted_pixels(
     image_id: str, h: int = 24, w: int = 17, n_colors: int = 32,
     seed: int = 42,

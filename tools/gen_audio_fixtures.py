@@ -60,8 +60,12 @@ def gen_audio_match(track_ids: list[str]) -> pd.DataFrame:
     ]
     index = orc.build_index(tracks)
     rows = []
-    for i in range(N_MATCH_CLIPS):
-        cid, raw, sr, dur, cname, _, _ = _clip(i, track_ids)
+    probes = [_clip(i, track_ids) for i in range(N_MATCH_CLIPS)]
+    # foreign-rate probes (16 k / 22.05 k analytic excerpts): the
+    # oracle normalizes them through its scalar-sinc resampler — the
+    # engine's mixed-rate path is thereby driver-hash-gated
+    probes += synth.mixed_rate_clip_rows(track_ids)
+    for cid, raw, sr, dur, cname, _, _ in probes:
         m = orc.match_clip(orc.clip_landmarks(raw, cname, sr), index, dur)
         if m is not None:
             rows.append((cid, m[0], m[1], m[2], orc.round_half_up(m[3], 4)))
