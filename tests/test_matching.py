@@ -415,3 +415,71 @@ def test_near_dup_clips_batch_and_stream_agree(spark, tmp_path):
         r.clip_id for r in sink.read(spark).collect() if r.clip_id != flush_id
     }
     assert got_stream == expect
+
+
+def test_near_dup_clips_epochs_cross_epoch_claims(spark, tmp_path):
+    """NearDupEpochs with the audio bander: a re-encode arriving in a
+    LATER epoch is suppressed by the prior epoch's claims snapshot, and
+    fresh recordings survive — the packaged epoch lifecycle is
+    banding-agnostic."""
+    from sparkfp import dedup, schema
+
+    h = 3_600_000
+    base = 1_700_000_000_000
+    tids = synth.default_track_ids(2)
+    pcm0 = synth.track_pcm(tids[0], dur_ms=5000)
+    pcm1 = synth.track_pcm(tids[1], dur_ms=5000)
+
+    def clip(cid, raw, cname, ev):
+        return (cid, raw, 8000, 5000, cname, "", ev)
+
+    def flush(cid, ev):
+        return clip(
+            cid, codec.encode(
+                synth.track_pcm("zz_" + cid, dur_ms=3000), "pcm_s16le"
+            ),
+            "pcm_s16le", ev,
+        )
+
+    epochs = dedup.NearDupEpochs(
+        spark, str(tmp_path / "root"), "clip_id", None, "event_ms",
+        watermark="2 hours",
+        bander=lambda s: matching.banded_clips(s, "clip_id"),
+    )
+
+    def feed(name, rows):
+        src = str(tmp_path / f"src_{name}")
+        for row in rows:
+            spark.createDataFrame([row], schema.CLIP).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        return (
+            spark.readStream.schema(schema.CLIP)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    v1 = epochs.run_epoch(
+        feed("e1", [
+            clip("a0", codec.encode(pcm0, "pcm_s16le"), "pcm_s16le", base),
+            flush("f1", base + 24 * h),
+        ]),
+        "e1",
+    )
+    s1 = {r.clip_id for r in epochs.survivors("e1").collect()}
+    assert "a0" in s1
+    v2 = epochs.run_epoch(
+        feed("e2", [
+            # same recording, A-law re-encode, NEW epoch -> suppressed
+            # purely by the prior epoch's claims side table
+            clip("a1", codec.encode(pcm0, "alaw"), "alaw", base + 48 * h),
+            clip("b0", codec.encode(pcm1, "pcm_s16le"), "pcm_s16le",
+                 base + 48 * h + 60_000),
+            flush("f2", base + 80 * h),
+        ]),
+        "e2",
+    )
+    s2 = {r.clip_id for r in epochs.survivors("e2").collect()}
+    assert "a1" not in s2 and "b0" in s2
+    # compaction observability: bounded per-epoch state was recorded
+    assert epochs.last_state_rows and max(epochs.last_state_rows) > 0
