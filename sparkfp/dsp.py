@@ -173,6 +173,48 @@ def extract_clip_landmarks(
     return landmark_hashes(peaks, SR_REF)
 
 
+def extract_clip_landmarks_safe(
+    raw: bytes, codec_name: str, sr_hz: int
+) -> tuple[np.ndarray, np.ndarray, bool]:
+    """(hashes, t_ms, ok). The per-row error contract at corpus scale:
+    one corrupt blob or unknown codec among 10^12 clips must surface
+    as ok=False for THAT row, never as a task failure that kills the
+    batch (same contract the media path pins in
+    multimodal.frame_sample_features; decoders are fuzz-tested to
+    raise exactly ValueError/UnsupportedCodec)."""
+    try:
+        h, t = extract_clip_landmarks(raw, codec_name, sr_hz)
+        return h, t, True
+    except (ValueError, codec.UnsupportedCodec):
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int32),
+            False,
+        )
+
+
+def quarantine_clips(clips: DataFrame, id_col: str = "clip_id") -> DataFrame:
+    """(clip_id, reason) for every row the landmark chain cannot
+    decode — the accounting side of the skip policy, so dropped rows
+    are observable instead of silently vanishing from the corpus."""
+    out_schema = "clip_id string, reason string"
+    cols = [id_col, "bytes", "sr_hz", "codec"]
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, raw, sr, cname in zip(
+                pdf[id_col], pdf["bytes"], pdf["sr_hz"], pdf["codec"]
+            ):
+                try:
+                    extract_clip_landmarks(bytes(raw), cname, int(sr))
+                except (ValueError, codec.UnsupportedCodec) as e:
+                    rows.append((cid, f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(rows, columns=["clip_id", "reason"])
+
+    return clips.select(*cols).mapInPandas(scan, out_schema)
+
+
 # ---------------------------------------------------------------- Spark plumbing
 
 
@@ -191,7 +233,9 @@ def landmarks(clips: DataFrame, id_col: str = "clip_id") -> DataFrame:
             for cid, raw, sr, cname, ev in zip(
                 pdf[id_col], pdf["bytes"], pdf["sr_hz"], pdf["codec"], pdf["event_ms"]
             ):
-                h, t = extract_clip_landmarks(raw, cname, int(sr))
+                # skip-with-accounting: corrupt rows emit no landmarks
+                # (quarantine_clips lists them) instead of failing the task
+                h, t, _ok = extract_clip_landmarks_safe(raw, cname, int(sr))
                 if len(h) == 0:
                     continue
                 ids.append(np.full(len(h), cid, dtype=object))

@@ -184,7 +184,11 @@ def match_clips_fused(
             for cid, raw, sr, cname, dur in zip(
                 pdf["clip_id"], pdf["bytes"], pdf["sr_hz"], pdf["codec"], pdf["dur_ms"]
             ):
-                h, t = dsp.extract_clip_landmarks(bytes(raw), cname, int(sr))
+                # per-row error contract: corrupt blobs yield no match
+                # row (see dsp.quarantine_clips) instead of a task kill
+                h, t, _ok = dsp.extract_clip_landmarks_safe(
+                    bytes(raw), cname, int(sr)
+                )
                 if len(h) == 0:
                     continue
                 lo = np.searchsorted(sh, h, "left")
@@ -368,7 +372,9 @@ def clip_signatures(
                 pdf[id_col], pdf["bytes"], pdf["sr_hz"], pdf["codec"],
                 pdf["event_ms"],
             ):
-                h, _ = dsp.extract_clip_landmarks(bytes(raw), cname, int(sr))
+                h, _, _ok = dsp.extract_clip_landmarks_safe(
+                    bytes(raw), cname, int(sr)
+                )
                 if len(h) == 0:
                     continue
                 mins: list[str | None] = [None] * n_hashes

@@ -483,3 +483,37 @@ def test_near_dup_clips_epochs_cross_epoch_claims(spark, tmp_path):
     assert "a1" not in s2 and "b0" in s2
     # compaction observability: bounded per-epoch state was recorded
     assert epochs.last_state_rows and max(epochs.last_state_rows) > 0
+
+
+def test_corrupt_rows_quarantined_not_fatal(spark, index):
+    """One corrupt blob among 10^12 clips must never kill the batch:
+    the landmark chain skips undecodable rows per-row, the matcher
+    still matches the good clips, and quarantine_clips accounts for
+    every dropped row with a reason."""
+    from sparkfp import schema
+
+    tid = synth.default_track_ids(N_TRACKS)[0]
+    good = codec.encode(synth.track_pcm(tid, dur_ms=5000), "pcm_s16le")
+    bad_adpcm = codec.encode(
+        synth.track_pcm(tid, dur_ms=3000), "adpcm"
+    )[:40]  # truncated mid-header: ValueError
+    rows = [
+        ("ok_clip", good, 8000, 5000, "pcm_s16le", "", 0),
+        ("bad_bytes", bad_adpcm, 8000, 3000, "adpcm", "", 0),
+        ("bad_codec", good, 8000, 5000, "opus", "", 0),  # UnsupportedCodec
+    ]
+    clips = spark.createDataFrame(rows, schema.CLIP)
+    # landmark extraction completes and excludes the bad rows
+    lm_ids = {r.clip_id for r in dsp.landmarks(clips).select("clip_id").distinct().collect()}
+    assert lm_ids == {"ok_clip"}
+    # the fused matcher completes and matches the good clip
+    got = {r.clip_id: r.matched_track
+           for r in matching.match_clips_fused(clips, index).collect()}
+    assert got == {"ok_clip": tid}
+    # signatures skip bad rows too (dedup path)
+    sig_ids = {r.clip_id for r in matching.clip_signatures(clips).collect()}
+    assert sig_ids == {"ok_clip"}
+    # quarantine lists exactly the bad rows, with reasons
+    q = {r.clip_id: r.reason for r in dsp.quarantine_clips(clips).collect()}
+    assert set(q) == {"bad_bytes", "bad_codec"}
+    assert "UnsupportedCodec" in q["bad_codec"]
