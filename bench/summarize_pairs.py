@@ -40,18 +40,27 @@ def main() -> None:
     tag = args[0] if args else "r4"
     here = os.path.dirname(os.path.abspath(__file__))
     pairs: dict[str, dict] = {}
-    for path in sorted(glob.glob(os.path.join(here, f"{tag}_*pair*_*.json"))):
+    for path in sorted(glob.glob(os.path.join(here, f"{tag}_*.json"))):
         m = re.match(
-            rf"{tag}_(n1_)?pair(\d+)_(n|4n|n2)\.json", os.path.basename(path)
+            rf"{tag}_(n1_)?(pair|hunt[A-Z]?)(\d+)_(n|4n|n2)\.json",
+            os.path.basename(path),
         )
         if not m:
             continue
-        label = f"{'1v4 ' if m.group(1) else ''}p{m.group(2)}"
+        kind = "p" if m.group(2) == "pair" else m.group(2)
+        label = f"{'1v4 ' if m.group(1) else ''}{kind}{m.group(3)}"
         with open(path) as f:
-            pairs.setdefault(label, {})[m.group(3)] = json.load(f)
+            pairs.setdefault(label, {})[m.group(4)] = json.load(f)
 
     def sort_key(label: str):
-        return (label.startswith("1v4"), int(label.rsplit("p", 1)[1]))
+        import re as _re
+
+        num = _re.search(r"(\d+)$", label)
+        return (
+            label.startswith("1v4"),
+            label.rstrip("0123456789"),
+            int(num.group(1)) if num else 0,
+        )
 
     rows, clean_effs, clean_steadies = [], [], []
     for label in sorted(pairs, key=sort_key):
