@@ -16,10 +16,16 @@ Module map (see SURVEY.md §7.8):
 - :mod:`sparkfp.session`     SparkSession factory tuned for the engine
 - :mod:`sparkfp.schema`      StructTypes for every table in the system
 - :mod:`sparkfp.synth`       deterministic synthetic generators (sensors, clips)
-- :mod:`sparkfp.codec`       vectorized PCM encode/decode (pcm_s16le, ulaw)
-- :mod:`sparkfp.dsp`         STFT, peak picking, landmark hashing (Arrow UDFs)
+- :mod:`sparkfp.codec`       vectorized audio/image codecs (PCM, G.711,
+  IMA ADPCM, WAV; BMP/PPM/PNG via numpy + stdlib zlib)
+- :mod:`sparkfp.jpeg`        pure-numpy baseline+progressive JPEG (T.81)
+- :mod:`sparkfp.gif`         GIF87a/89a LZW codec (interlace, local tables)
+- :mod:`sparkfp.video`       MJPEG video decode (AVI / raw container walk)
+- :mod:`sparkfp.dsp`         resampler, STFT, peak picking, landmark
+  hashing, per-row decode quarantine (Arrow UDFs)
 - :mod:`sparkfp.fingerprint` the windowed stats "fingerprint" parity pipeline
-- :mod:`sparkfp.matching`    index build, stream match join, offset voting
+- :mod:`sparkfp.matching`    index build, stream match join, offset voting,
+  audio near-dup (landmark-minhash pairs, batch+streaming suppression)
 - :mod:`sparkfp.windows`     tumbling/sliding/session window helpers
 - :mod:`sparkfp.rules`       rule-tree -> Column compiler (boolean CEP rules)
 - :mod:`sparkfp.streaks`     gaps-and-islands streak/duration triggers

@@ -517,3 +517,40 @@ def test_corrupt_rows_quarantined_not_fatal(spark, index):
     q = {r.clip_id: r.reason for r in dsp.quarantine_clips(clips).collect()}
     assert set(q) == {"bad_bytes", "bad_codec"}
     assert "UnsupportedCodec" in q["bad_codec"]
+
+
+def test_near_dup_pairs_plan_shape(spark):
+    """Scale guards for the landmark-Jaccard self-join: no cartesian /
+    broadcast-nested-loop anywhere (the join must stay a hash-keyed
+    equi-join that co-partitions with the upstream df-cap aggregation),
+    and the banding path must keep the Arrow-UDF eval node BELOW the
+    Generate so the explode never re-evaluates signature work per band
+    slot (the round-3 codegen trap, memorialized in dedup.py)."""
+    from sparkfp import schema
+
+    tid = synth.default_track_ids(1)[0]
+    rows = [
+        ("c0", codec.encode(synth.track_pcm(tid, dur_ms=3000), "pcm_s16le"),
+         8000, 3000, "pcm_s16le", "", 0),
+    ]
+    clips = spark.createDataFrame(rows, schema.CLIP)
+
+    pairs_plan = (
+        matching.near_dup_audio_pairs(clips)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Cartesian" not in pairs_plan
+    assert "NestedLoop" not in pairs_plan
+
+    banded_plan = (
+        matching.banded_clips(clips)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # the Generate (posexplode of band keys) must consume the OUTPUT of
+    # the Python/Arrow eval, not inline per-clip signature work
+    gen_at = banded_plan.find("Generate")
+    eval_at = max(
+        banded_plan.find("ArrowEvalPython"), banded_plan.find("MapInPandas")
+    )
+    assert gen_at != -1 and eval_at != -1
+    assert gen_at < eval_at  # Generate ABOVE (printed before) the eval node
