@@ -32,6 +32,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CLEAN_PROBE_RATIO = 1.6
 NOMINAL_1P_S = 0.95  # calibrated idle-window 1-proc burn on this VM
 CLEAN_1P_SLOWDOWN = 1.25
+# Max relative disagreement between the two narrow legs of an
+# N -> 4N -> N sandwich for the pair to count as clean. Healthy-window
+# sandwiches measure 0.026-0.162 (r5 pairs, r6 hunt B); a throttle or
+# a concurrent-run collision inside one narrow leg reads far higher
+# (r6 hunt C3: 1.225).
+DRIFT_CLEAN_MAX = 0.25
 
 
 def _fft_burn(n_iter: int = 1000) -> None:
@@ -311,9 +317,15 @@ def merge_legs(args, extra: dict | None = None) -> dict:
         ),
         "probe_n": r_n.get("ambient_probe"),
         "probe_4n": r_4n.get("ambient_probe"),
-        # pair is clean iff BOTH legs ran in a clean hypervisor window;
-        # a leg recorded before the ambient probe existed is UNKNOWN
-        # (None), matching summarize_pairs.leg_clean — not dirty
+        # pair is clean iff BOTH legs ran in a clean hypervisor window
+        # AND (for sandwich pairs) the two narrow legs agree: the drift
+        # detector measures the window with the pair's own instrument,
+        # catching contamination the instant probes miss — r6 hunt C3's
+        # narrow legs read [97, 404] (drift 1.22, a concurrent-JVM
+        # collision) under clean probes, which would otherwise have
+        # passed as a 1.05-efficiency "clean" pair. A leg recorded
+        # before the ambient probe existed is UNKNOWN (None), matching
+        # summarize_pairs.leg_clean — not dirty.
         "clean_pair": (
             None
             if r_n.get("ambient_probe") is None
@@ -321,6 +333,7 @@ def merge_legs(args, extra: dict | None = None) -> dict:
             else bool(
                 r_n["ambient_probe"].get("clean_window")
                 and r_4n["ambient_probe"].get("clean_window")
+                and (drift is None or drift <= DRIFT_CLEAN_MAX)
             )
         ),
     }

@@ -21,7 +21,12 @@ import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from run_scaling import CLEAN_1P_SLOWDOWN, CLEAN_PROBE_RATIO, NOMINAL_1P_S
+from run_scaling import (
+    CLEAN_1P_SLOWDOWN,
+    CLEAN_PROBE_RATIO,
+    DRIFT_CLEAN_MAX,
+    NOMINAL_1P_S,
+)
 
 
 def leg_clean(leg: dict) -> bool | None:
@@ -72,6 +77,7 @@ def main() -> None:
         n_tp = n["clips_per_sec"]
         n_steady = n.get("steady_clips_per_sec")
         drift_txt = ""
+        drift = None
         if "n2" in legs:
             n2 = legs["n2"]
             drift = abs(n_tp - n2["clips_per_sec"]) / (
@@ -88,7 +94,14 @@ def main() -> None:
             else None
         )
         cn, c4 = leg_clean(n), leg_clean(x4)
-        clean = bool(cn and c4) if cn is not None and c4 is not None else None
+        # sandwich drift gates cleanliness too: disagreeing narrow legs
+        # mean the window moved (or a collision hit one leg) between
+        # probe samples — see run_scaling.DRIFT_CLEAN_MAX
+        clean = (
+            bool(cn and c4 and (drift is None or drift <= DRIFT_CLEAN_MAX))
+            if cn is not None and c4 is not None
+            else None
+        )
         if clean:
             clean_effs.append(eff)
             if steady is not None:
