@@ -1,16 +1,18 @@
 """Vectorized PCM codecs.
 
 The clip table carries opaque ``bytes`` + a ``codec`` tag
-(BASELINE.json input_hint). Two codecs are real (pure numpy, fully
-vectorized): ``pcm_s16le`` (16-bit little-endian linear PCM) and
-``ulaw`` (G.711 mu-law, 8-bit). Anything else (mp3/ogg/aac would need
-external decoder libs not present in this container) is stubbed behind
-:class:`UnsupportedCodec` with the Spark-side plumbing kept real —
-the decode UDF dispatches on the codec column per batch.
+(BASELINE.json input_hint). Real codecs (pure numpy, vectorized):
+``pcm_s16le``, ``ulaw`` / ``alaw`` (G.711), ``wav`` (RIFF linear
+PCM), ``adpcm`` (IMA ADPCM in RIFF), and ``mp1`` (MPEG-1 Audio
+Layer I, sparkfp/mpeg_audio.py). What's left (mp3 Layer III / ogg /
+aac would need external decoder libs not present in this container)
+is stubbed behind :class:`UnsupportedCodec` with the Spark-side
+plumbing kept real — the decode UDF dispatches on the codec column
+per batch.
 
 Decode invariant (input_hint): decoded PCM must match the
 synthesizer's ground truth at SNR >= 30 dB; pcm_s16le round-trips at
-~90 dB, ulaw at ~35 dB.
+~90 dB, ulaw at ~35 dB, mp1 at ~40 dB (320 kbps).
 """
 
 from __future__ import annotations
@@ -42,6 +44,10 @@ def encode(pcm: np.ndarray, codec: str, sr_hz: int = 8000) -> bytes:
         return _encode_wav(_f32_to_s16(pcm), sr_hz)
     if codec == "adpcm":
         return _encode_adpcm_wav(_f32_to_s16(pcm), sr_hz)
+    if codec == "mp1":
+        from . import mpeg_audio  # deferred: mpeg_audio imports back
+
+        return mpeg_audio.encode_mp1(pcm, sr_hz)
     raise UnsupportedCodec(codec)
 
 
@@ -59,6 +65,10 @@ def decode(raw: bytes, codec: str) -> np.ndarray:
         # both live in a RIFF/WAVE container; the chunk walk routes on
         # the fmt tag (1 = linear PCM, 0x11 = IMA ADPCM)
         return _decode_wav(raw)
+    if codec == "mp1":
+        from . import mpeg_audio  # deferred: mpeg_audio imports back
+
+        return mpeg_audio.decode_mp1(raw)[0]
     raise UnsupportedCodec(codec)
 
 

@@ -46,7 +46,7 @@ BYTE_FEATURES = T.StructType(
     ]
 )
 
-_DECODABLE = {"pcm_s16le", "ulaw", "alaw", "wav", "adpcm"}  # sparkfp.codec
+_DECODABLE = {"pcm_s16le", "ulaw", "alaw", "wav", "adpcm", "mp1"}  # sparkfp.codec
 
 
 def byte_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
@@ -88,7 +88,7 @@ def decode_media(raw: bytes, codec: str, deterministic_fake: bool = False) -> np
     """Decode a media blob to a numpy array.
 
     Audio codecs (pcm/ulaw/alaw/wav + IMA ADPCM, block-lockstep
-    vectorized), library-free image codecs (bmp/ppm/png/jpeg/gif — PNG
+    vectorized, + MPEG-1 Layer I in sparkfp/mpeg_audio.py), library-free image codecs (bmp/ppm/png/jpeg/gif — PNG
     via stdlib zlib + numpy unfiltering, baseline+progressive JPEG via
     pure-numpy huffman + IDCT in sparkfp/jpeg.py, GIF via LZW in
     sparkfp/gif.py),

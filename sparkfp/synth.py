@@ -310,7 +310,11 @@ def image_bytes(
 
 def mixed_rate_clip_rows(
     track_ids: list[str],
-    specs: tuple = ((16000, 0, 3000), (22050, 1, 4500)),
+    specs: tuple = (
+        (16000, 0, 3000),
+        (22050, 1, 4500),
+        (32000, 2, 2000, "mp1"),
+    ),
     dur_ms: int = 5000,
 ) -> list[tuple]:
     """Foreign-sample-rate probe clips, synthesized ANALYTICALLY at the
@@ -318,9 +322,16 @@ def mixed_rate_clip_rows(
     path). Input construction shared by the entry query and the fixture
     generator — the oracle matches them through its own scalar-sinc
     resampler, so the engine's rate normalization sits behind the
-    driver's hash gate. Each spec is (sr_hz, track index, offset_ms)."""
+    driver's hash gate. Each spec is (sr_hz, track index, offset_ms)
+    or (sr_hz, track index, offset_ms, codec_name) — the 32 kHz probe
+    rides the MPEG-1 Layer I codec, gating lossy decode + rate
+    normalization + match in one row (both sides decode the same mp1
+    bytes; the oracle with its scalar frame walk + triple-loop
+    filterbank)."""
     rows = []
-    for sr, ti, off_ms in specs:
+    for spec in specs:
+        sr, ti, off_ms = spec[:3]
+        cname = spec[3] if len(spec) > 3 else "pcm_s16le"
         tid = track_ids[ti % len(track_ids)]
         track = track_pcm(tid, sr_hz=sr)
         s = int(sr * off_ms / 1000)
@@ -329,10 +340,10 @@ def mixed_rate_clip_rows(
         rows.append(
             (
                 cid,
-                codec.encode(pcm, "pcm_s16le"),
+                codec.encode(pcm, cname, sr_hz=sr),
                 sr,
                 dur_ms,
-                "pcm_s16le",
+                cname,
                 transcript_for(cid),
                 1_700_000_000_000,
             )

@@ -148,7 +148,14 @@ def _avi_frame_chunks(raw: bytes) -> list[bytes]:
 
     frames: list[bytes] = []
 
-    def walk(pos: int, end: int, in_movi: bool) -> None:
+    def walk(pos: int, end: int, in_movi: bool, depth: int) -> None:
+        # real files nest LIST two deep (movi > rec ); a crafted file
+        # of 12-byte LIST headers could otherwise recurse past the
+        # interpreter stack limit — RecursionError would escape the
+        # malformed-input ValueError contract the per-row quarantine
+        # in multimodal.frame_sample_features catches on
+        if depth > 16:
+            raise ValueError("AVI LIST nesting too deep")
         while pos + 8 <= end:
             fourcc = raw[pos: pos + 4]
             (size,) = struct.unpack_from("<I", raw, pos + 4)
@@ -160,7 +167,7 @@ def _avi_frame_chunks(raw: bytes) -> list[bytes]:
                     raise ValueError("short AVI LIST chunk")
                 ltype = raw[pos + 8: pos + 12]
                 if ltype == b"movi" or (in_movi and ltype == b"rec "):
-                    walk(pos + 12, body_end, True)
+                    walk(pos + 12, body_end, True, depth + 1)
                 elif not in_movi:
                     pass  # hdrl/INFO lists carry no frame data
             elif in_movi and len(fourcc) == 4 and fourcc[2:4] in (b"dc", b"db"):
@@ -169,7 +176,7 @@ def _avi_frame_chunks(raw: bytes) -> list[bytes]:
                 frames.append(raw[pos + 8: body_end])
             pos = body_end + (size % 2)  # word alignment
 
-    walk(12, min(8 + total, len(raw)), False)
+    walk(12, min(8 + total, len(raw)), False, 0)
     if not frames:
         raise ValueError("AVI contains no video frame chunks")
     return frames

@@ -502,3 +502,109 @@ def test_gif_table_reset_at_4096_codes():
 
     img = synth.paletted_pixels("gbig", h=120, w=119, n_colors=256)
     assert np.array_equal(gif.decode_gif(gif.encode_gif(img)), img)
+
+
+# ---------------------------------------------- MPEG-1 Layer I (mp1)
+
+
+def _mp1_header(layer=3, mode=3, version=3, br_idx=5, sr_idx=2,
+                protection=1) -> bytes:
+    """Craft a 32-bit MPEG audio header (field values, not bit maps)."""
+    word = (0x7FF << 21) | (version << 19) | (layer << 17) | (protection << 16)
+    word |= (br_idx << 12) | (sr_idx << 10) | (mode << 6) | (1 << 2)
+    return word.to_bytes(4, "big")
+
+
+def test_mp1_roundtrip_snr_and_alignment():
+    from sparkfp import mpeg_audio
+
+    pcm = _signal(n=32000)
+    raw = codec.encode(pcm, "mp1", sr_hz=32000)
+    out = codec.decode(raw, "mp1")
+    # decode covers every input sample; trailing pad <= 383 samples
+    assert len(pcm) <= len(out) < len(pcm) + 384
+    assert codec.snr_db(pcm, out[: len(pcm)]) >= 36.0
+    # sample-0 alignment: the 481-sample filterbank delay is dropped
+    imp = np.zeros(4000, dtype=np.float32)
+    imp[1234] = 0.5
+    y, sr = mpeg_audio.decode_mp1(mpeg_audio.encode_mp1(imp, 48000, 448))
+    assert sr == 48000
+    assert int(np.argmax(np.abs(y))) == 1234
+
+
+def test_mp1_filterbank_near_pr():
+    """Unquantized analysis+synthesis of the RRC-prototype filterbank
+    reconstructs at ~42 dB (the module-docstring design figure); the
+    quantizer sits on top of this floor."""
+    from sparkfp import mpeg_audio as m
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(16384) * 0.3
+    sub = m._analyze(x, m._ANALYSIS, len(x) // 32)
+    y = m._synthesize(sub, m._SYNTHESIS)[m._DELAY:]
+    n = len(x) - m._DELAY
+    err = y[:n] - x[:n]
+    snr = 10 * np.log10(np.sum(x[:n] ** 2) / np.sum(err ** 2))
+    assert snr >= 40.0
+
+
+def test_mp1_engine_decode_equals_oracle_scalar_loop():
+    """Engine matmul synthesis vs the oracle's literal triple loop.
+    Not bit-exact like the adpcm twin: the engine reassociates the
+    float64 sums (matmul) and returns float32, so parity is pinned at
+    1e-6 absolute — 10^4 times tighter than the quantizer noise."""
+    import tools.dsp_oracle as orc
+
+    pcm = _signal(n=2000)
+    raw = codec.encode(pcm, "mp1", sr_hz=32000)
+    eng = codec.decode(raw, "mp1").astype(np.float64)
+    ora = np.array(orc.decode(raw, "mp1"))
+    assert eng.shape == ora.shape
+    assert np.abs(eng - ora).max() <= 1e-6
+
+
+def test_mp1_error_paths():
+    from sparkfp import mpeg_audio as m
+
+    good = m.encode_mp1(_signal(n=1000), 32000, 160)
+    with pytest.raises(ValueError):
+        m.decode_mp1(b"")
+    with pytest.raises(ValueError):
+        m.decode_mp1(b"\x00\x00\x00\x00")        # no sync
+    with pytest.raises(ValueError):
+        m.decode_mp1(good[:3])                   # short header
+    with pytest.raises(ValueError):
+        m.decode_mp1(good[:-7])                  # truncated frame body
+    with pytest.raises(codec.UnsupportedCodec):
+        m.decode_mp1(_mp1_header(layer=2))       # Layer II
+    with pytest.raises(codec.UnsupportedCodec):
+        m.decode_mp1(_mp1_header(version=2))     # MPEG-2 LSF
+    with pytest.raises(ValueError):
+        m.decode_mp1(_mp1_header(version=1))     # reserved version
+    with pytest.raises(codec.UnsupportedCodec):
+        m.decode_mp1(_mp1_header(mode=0))        # stereo
+    with pytest.raises(codec.UnsupportedCodec):
+        m.decode_mp1(_mp1_header(br_idx=0))      # free format
+    with pytest.raises(ValueError):
+        m.decode_mp1(_mp1_header(br_idx=15))     # forbidden bitrate
+    with pytest.raises(ValueError):
+        m.decode_mp1(_mp1_header(sr_idx=3))      # reserved sample rate
+    # sample rate change mid-stream: 32 kHz frames then a 48 kHz header
+    with pytest.raises(ValueError):
+        m.decode_mp1(good + _mp1_header(sr_idx=1))
+    # encoder argument contract
+    with pytest.raises(codec.UnsupportedCodec):
+        m.encode_mp1(np.zeros(100), 8000)        # not an MPEG-1 rate
+    with pytest.raises(codec.UnsupportedCodec):
+        m.encode_mp1(np.zeros(100), 44100, 160)  # needs padding frames
+    with pytest.raises(ValueError):
+        m.encode_mp1(np.zeros(100), 32000, 100)  # not in bitrate table
+    with pytest.raises(ValueError):
+        m.encode_mp1(np.zeros((10, 2)), 32000)   # stereo input
+
+
+def test_mp1_silence_and_empty_frames():
+    from sparkfp import mpeg_audio as m
+
+    y, _ = m.decode_mp1(m.encode_mp1(np.zeros(500), 32000, 32))
+    assert len(y) >= 500 and np.abs(y).max() == 0.0

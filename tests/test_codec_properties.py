@@ -148,7 +148,7 @@ def test_image_decoders_never_crash_with_foreign_errors(raw, image_codec):
 
 @settings(max_examples=60, deadline=None)
 @given(st.binary(min_size=0, max_size=300),
-       st.sampled_from(["pcm_s16le", "ulaw", "alaw", "wav", "adpcm"]))
+       st.sampled_from(["pcm_s16le", "ulaw", "alaw", "wav", "adpcm", "mp1"]))
 def test_audio_decoders_never_crash_with_foreign_errors(raw, name):
     try:
         out = codec.decode(raw, name)
@@ -217,3 +217,41 @@ def test_query_registry_within_driver_cap():
     import __spark_entry__ as entry
 
     assert len(entry.queries()) <= 50
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(600, 4000), st.floats(0.01, 0.2),
+       st.floats(0.2, 0.9), st.integers(0, 2**31 - 1),
+       st.sampled_from([192, 320, 448]))
+def test_mp1_roundtrip_snr_envelope(n, rate, amp, seed, kbps):
+    """MPEG-1 Layer I quality envelope at mid-to-high bitrates: the
+    42 dB near-PR filterbank floor plus >= 7-bit quantization keeps
+    band-limited content above the 30 dB input_hint contract."""
+    rng = np.random.default_rng(seed)
+    pcm = np.clip(
+        amp * np.sin(rate * np.arange(n)) + 0.01 * rng.standard_normal(n),
+        -1, 1,
+    ).astype(np.float32)
+    out = codec.decode(codec.encode(pcm, "mp1", sr_hz=32000), "mp1")
+    assert len(out) >= n
+    assert codec.snr_db(pcm, out[:n]) >= 30.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_mp1_decoder_contract_past_sync(raw):
+    """Random bytes almost never carry the 11-bit sync, so fuzz the
+    frame internals behind a valid mono Layer I header (160 kbps,
+    32 kHz -> 240-byte frames): allocation/scalefactor/sample reads
+    must honor the ValueError/UnsupportedCodec contract."""
+    hdr = (0x7FF << 21 | 0x3 << 19 | 0x3 << 17 | 1 << 16 | 5 << 12
+           | 2 << 10 | 0x3 << 6 | 1 << 2).to_bytes(4, "big")
+    # guard against a silently vacuous fuzz: the header itself must
+    # parse as MPEG-1 Layer I mono (truncation error, not a reject)
+    with pytest.raises(ValueError, match="truncated"):
+        codec.decode(hdr, "mp1")
+    try:
+        out = codec.decode(hdr + raw, "mp1")
+        assert out.dtype == np.float32
+    except (ValueError, codec.UnsupportedCodec):
+        pass

@@ -100,6 +100,21 @@ def test_malformed_mjpeg_raises_valueerror(raw):
         video.decode_mjpeg(raw)
 
 
+def test_deeply_nested_avi_lists_raise_valueerror_not_recursionerror():
+    # 3000 nested LIST/rec  headers fit in ~36 KB and would blow the
+    # interpreter stack without the walk() depth cap
+    import struct as _struct
+
+    depth = 3000
+    body = b""
+    for _ in range(depth):
+        body = b"LIST" + _struct.pack("<I", len(body) + 4) + b"rec " + body
+    movi = b"LIST" + _struct.pack("<I", len(body) + 4) + b"movi" + body
+    raw = b"RIFF" + _struct.pack("<I", len(movi) + 4) + b"AVI " + movi
+    with pytest.raises(ValueError, match="nesting too deep"):
+        video.decode_mjpeg(raw)
+
+
 def test_geometry_change_mid_stream_rejected():
     a = jpeg.encode_jpeg(synth.image_pixels("ga", h=16, w=16))
     b = jpeg.encode_jpeg(synth.image_pixels("gb", h=24, w=16))

@@ -211,6 +211,8 @@ def decode(raw: bytes, codec_name: str) -> list[float]:
         return [_ALAW_TABLE[b] / 32768.0 for b in raw]
     if codec_name in ("wav", "adpcm"):
         return _decode_wav_scalar(raw)
+    if codec_name == "mp1":
+        return _decode_mp1_scalar(raw)
     raise ValueError(f"oracle cannot decode codec {codec_name!r}")
 
 
@@ -1110,7 +1112,7 @@ def frame_features(
     decode via the oracle's scalar T.81 decoder (dict huffman + direct
     per-block IDCT), a genuine second implementation against the
     engine's vectorized einsum path."""
-    if codec_name in ("pcm_s16le", "ulaw", "alaw", "wav", "adpcm"):
+    if codec_name in ("pcm_s16le", "ulaw", "alaw", "wav", "adpcm", "mp1"):
         vals = decode(raw, codec_name)
     elif codec_name == "bmp":
         vals = decode_bmp_pixels(raw)
@@ -1139,3 +1141,134 @@ def frame_features(
     mean = sum(vals) / n
     var = sum((v - mean) ** 2 for v in vals) / n
     return mean, math.sqrt(var), True
+
+
+# ------------------------------------------------ MPEG-1 Layer I (mp1)
+# Scalar twin of sparkfp/mpeg_audio.py: bit-at-a-time frame parsing,
+# spec closed-form requantization, and a triple-loop synthesis
+# filterbank. The near-PR prototype (RRC alpha=1, T=64) and the ISO
+# modulation phases are contract constants restated here, like the
+# landmark parameters above.
+
+_MP1_BITRATES = (0, 32, 64, 96, 128, 160, 192, 224, 256,
+                 288, 320, 352, 384, 416, 448)
+_MP1_RATES = (44100, 48000, 32000)
+_MP1_DELAY = 481
+
+
+def _mp1_prototype() -> list[float]:
+    h = []
+    for n in range(512):
+        t = n - 255.5
+        num = (4.0 * t / 64.0) * math.cos(math.pi * 2.0 * t / 64.0)
+        den = (math.pi * t / 64.0) * (1.0 - (4.0 * t / 64.0) ** 2)
+        h.append(num / den)  # alpha=1 RRC; t half-integer: no poles
+    s = sum(h)
+    return [v / s for v in h]
+
+
+_MP1_SYN = None   # per-subband synthesis taps (incl. 1/gain), 32 x 512
+_MP1_GAIN = None
+
+
+def _mp1_tables():
+    """Precomputed scalar tables (math.cos loops, like the G.711/IMA
+    tables above): per-subband synthesis taps scaled by the measured
+    pass-through gain."""
+    global _MP1_SYN, _MP1_GAIN
+    if _MP1_SYN is None:
+        h = _mp1_prototype()
+        # exact pass-through gain at impulse position p=1024 (p%32==0),
+        # same measurement point as the engine's import calibration
+        g = 0.0
+        p = 1024
+        for t in range((p + 481) // 32 + 1):
+            i = 32 * t + 31 - p
+            n = p + _MP1_DELAY - 32 * t
+            if 0 <= i < 512 and 0 <= n < 512:
+                for k in range(32):
+                    a = h[i] * math.cos((2 * k + 1) * (i - 16) * math.pi / 64)
+                    s = h[n] * math.cos((2 * k + 1) * (n + 16) * math.pi / 64)
+                    g += a * s
+        _MP1_GAIN = g
+        _MP1_SYN = [
+            [h[n] * math.cos((2 * k + 1) * (n + 16) * math.pi / 64) / g
+             for n in range(512)]
+            for k in range(32)
+        ]
+    return _MP1_SYN, _MP1_GAIN
+
+
+class _Mp1Bits:
+    def __init__(self, data: bytes):
+        self.d, self.p = data, 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.d[self.p >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.p & 7))) & 1)
+            self.p += 1
+        return v
+
+
+def _decode_mp1_scalar(raw: bytes) -> list[float]:
+    if len(raw) < 4:
+        raise ValueError("oracle mp1: short stream")
+    subbands: list[list[float]] = []  # per granule, 32 floats
+    pos = 0
+    while pos < len(raw):
+        bits = _Mp1Bits(raw[pos:])
+        if bits.read(11) != 0x7FF:
+            raise ValueError("oracle mp1: lost sync")
+        if bits.read(2) != 3 or bits.read(2) != 3:
+            raise ValueError("oracle mp1: not MPEG-1 Layer I")
+        crc_present = bits.read(1) == 0
+        br = _MP1_BITRATES[bits.read(4)]
+        sr = _MP1_RATES[bits.read(2)]
+        padding = bits.read(1)
+        bits.read(1)
+        if bits.read(2) != 3:
+            raise ValueError("oracle mp1: not mono")
+        bits.read(6)  # mode_ext, copyright, original, emphasis
+        frame_bytes = (12 * br * 1000 // sr + padding) * 4
+        if pos + frame_bytes > len(raw):
+            raise ValueError("oracle mp1: truncated frame")
+        if crc_present:
+            bits.read(16)
+        nb = []
+        for _ in range(32):
+            a = bits.read(4)
+            nb.append(a + 1 if a else 0)
+        sf = [0.0] * 32
+        for sb in range(32):
+            if nb[sb]:
+                idx = bits.read(6)
+                sf[sb] = 2.0 * 2.0 ** (-idx / 3.0)
+        for _g in range(12):
+            row = [0.0] * 32
+            for sb in range(32):
+                w = nb[sb]
+                if not w:
+                    continue
+                code = bits.read(w)
+                s3 = code / float(1 << (w - 1)) - 1.0
+                s2 = ((1 << w) / float((1 << w) - 1)) * (s3 + 2.0 ** (1 - w))
+                row[sb] = s2 * sf[sb]
+            subbands.append(row)
+        pos += frame_bytes
+    syn, _ = _mp1_tables()
+    n_gran = len(subbands)
+    out = [0.0] * (32 * n_gran)
+    for t in range(n_gran):
+        row = subbands[t]
+        base = 32 * t
+        span = min(512, len(out) - base)
+        for k in range(32):
+            s = row[k]
+            if s == 0.0:
+                continue
+            taps = syn[k]
+            for n in range(span):
+                out[base + n] += s * taps[n]
+    return out[_MP1_DELAY:]
