@@ -136,15 +136,50 @@ def spark_submit(cores: int, clips: int, zip_path: str, pin: bool = True) -> dic
     ]
     env = dict(os.environ)
     env.pop("PYSPARK_GATEWAY_PORT", None)
+    # throttle-independent instrumentation around the leg:
+    # - CPU-seconds of the whole reaped spark-submit tree (JVM + python
+    #   workers): work conservation — cpu_s/clip flat across
+    #   allocations proves the engine adds no parallel overhead, so any
+    #   walltime inflation is external to the plan;
+    # - /proc/stat steal jiffies: the hypervisor's own admission of how
+    #   many cycles it withheld DURING the leg (the instant probes can
+    #   only sample the window's edges).
+    import resource
+
+    ru0 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    st0 = _proc_stat_snapshot()
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=1800, env=env, cwd=REPO
     )
+    ru1 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    st1 = _proc_stat_snapshot()
+    cpu_s = (ru1.ru_utime - ru0.ru_utime) + (ru1.ru_stime - ru0.ru_stime)
     for line in out.stdout.splitlines():
         line = line.strip()
         if line.startswith("{") and "clips_per_sec" in line:
-            return json.loads(line)
+            r = json.loads(line)
+            r["cpu_s"] = round(cpu_s, 1)
+            r["cpu_s_per_clip"] = round(cpu_s / clips, 4)
+            if st0 and st1:
+                dsteal = st1[0] - st0[0]
+                dtotal = st1[1] - st0[1]
+                r["steal_pct"] = round(100.0 * dsteal / max(dtotal, 1), 2)
+            return r
     sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
     raise RuntimeError(f"no result line from spark-submit at local[{cores}]")
+
+
+def _proc_stat_snapshot() -> tuple[int, int] | None:
+    """(steal jiffies, total jiffies) from the aggregate cpu line."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+    except OSError:
+        return None
+    if parts[:1] != ["cpu"] or len(parts) < 9:
+        return None
+    vals = [int(v) for v in parts[1:]]
+    return vals[7], sum(vals)
 
 
 LEG_PATHS = {
@@ -317,6 +352,16 @@ def merge_legs(args, extra: dict | None = None) -> dict:
         ),
         "probe_n": r_n.get("ambient_probe"),
         "probe_4n": r_4n.get("ambient_probe"),
+        # work conservation + hypervisor self-report (see spark_submit)
+        "cpu_s_per_clip_n": r_n.get("cpu_s_per_clip"),
+        "cpu_s_per_clip_4n": r_4n.get("cpu_s_per_clip"),
+        "cpu_ratio_4n_vs_n": (
+            round(r_4n["cpu_s_per_clip"] / r_n["cpu_s_per_clip"], 3)
+            if r_n.get("cpu_s_per_clip") and r_4n.get("cpu_s_per_clip")
+            else None
+        ),
+        "steal_pct_n": r_n.get("steal_pct"),
+        "steal_pct_4n": r_4n.get("steal_pct"),
         # pair is clean iff BOTH legs ran in a clean hypervisor window
         # AND (for sandwich pairs) the two narrow legs agree: the drift
         # detector measures the window with the pair's own instrument,

@@ -109,12 +109,23 @@ def main() -> None:
         p_n = n.get("ambient_probe", {})
         p_4 = x4.get("ambient_probe", {})
         steady_txt = f"{steady:.3f}" if steady is not None else "-"
+        cpu_n, cpu_4 = n.get("cpu_s_per_clip"), x4.get("cpu_s_per_clip")
+        cpu_txt = (
+            f"{cpu_n:.3f}/{cpu_4:.3f}" if cpu_n and cpu_4 else "-"
+        )
+        st_n, st_4 = n.get("steal_pct"), x4.get("steal_pct")
+        steal_txt = (
+            f"{st_n:.0f}%/{st_4:.0f}%"
+            if st_n is not None and st_4 is not None
+            else "-"
+        )
         rows.append(
             f"| {label}{drift_txt} | {n['cores']}->{x4['cores']} "
             f"| {n_tp:.0f} | {x4['clips_per_sec']:.0f} "
             f"| {eff:.3f} | {steady_txt} "
             f"| {p_n.get('probe_1p_s', '-')}/{p_n.get('probe_ratio', '-')} "
             f"| {p_4.get('probe_1p_s', '-')}/{p_4.get('probe_ratio', '-')} "
+            f"| {cpu_txt} | {steal_txt} "
             f"| {'CLEAN' if clean else ('dirty' if clean is not None else 'n/a')} |"
         )
 
@@ -123,8 +134,9 @@ def main() -> None:
         f"1p <= {CLEAN_1P_SLOWDOWN} x {NOMINAL_1P_S}s (both legs)",
         "",
         "| pair | cores | n clips/s | 4n clips/s | e2e eff | steady eff "
-        "| probe n (1p s/ratio) | probe 4n | window |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| probe n (1p s/ratio) | probe 4n | cpu s/clip n/4n | steal n/4n "
+        "| window |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
         *rows,
         "",
     ]
