@@ -3,16 +3,17 @@
 The clip table carries opaque ``bytes`` + a ``codec`` tag
 (BASELINE.json input_hint). Real codecs (pure numpy, vectorized):
 ``pcm_s16le``, ``ulaw`` / ``alaw`` (G.711), ``wav`` (RIFF linear
-PCM), ``adpcm`` (IMA ADPCM in RIFF), and ``mp1`` (MPEG-1 Audio
-Layer I, sparkfp/mpeg_audio.py). What's left (mp3 Layer III / ogg /
-aac would need external decoder libs not present in this container)
-is stubbed behind :class:`UnsupportedCodec` with the Spark-side
-plumbing kept real — the decode UDF dispatches on the codec column
-per batch.
+PCM), ``adpcm`` (IMA ADPCM in RIFF), ``mp1`` (MPEG-1 Audio
+Layer I, sparkfp/mpeg_audio.py), and ``flac`` (lossless,
+sparkfp/flac.py). What's left (mp3 Layer III / ogg / aac would need
+external decoder libs not present in this container) is stubbed
+behind :class:`UnsupportedCodec` with the Spark-side plumbing kept
+real — the decode UDF dispatches on the codec column per batch.
 
 Decode invariant (input_hint): decoded PCM must match the
-synthesizer's ground truth at SNR >= 30 dB; pcm_s16le round-trips at
-~90 dB, ulaw at ~35 dB, mp1 at ~40 dB (320 kbps).
+synthesizer's ground truth at SNR >= 30 dB; pcm_s16le and flac
+round-trip at ~90 dB (bit-exact at s16), ulaw at ~35 dB, mp1 at
+~40 dB (320 kbps).
 """
 
 from __future__ import annotations
@@ -48,6 +49,10 @@ def encode(pcm: np.ndarray, codec: str, sr_hz: int = 8000) -> bytes:
         from . import mpeg_audio  # deferred: mpeg_audio imports back
 
         return mpeg_audio.encode_mp1(pcm, sr_hz)
+    if codec == "flac":
+        from . import flac  # deferred: flac imports back
+
+        return flac.encode_flac(pcm, sr_hz)
     raise UnsupportedCodec(codec)
 
 
@@ -69,6 +74,10 @@ def decode(raw: bytes, codec: str) -> np.ndarray:
         from . import mpeg_audio  # deferred: mpeg_audio imports back
 
         return mpeg_audio.decode_mp1(raw)[0]
+    if codec == "flac":
+        from . import flac  # deferred: flac imports back
+
+        return flac.decode_flac(raw)[0]
     raise UnsupportedCodec(codec)
 
 

@@ -46,7 +46,9 @@ BYTE_FEATURES = T.StructType(
     ]
 )
 
-_DECODABLE = {"pcm_s16le", "ulaw", "alaw", "wav", "adpcm", "mp1"}  # sparkfp.codec
+_DECODABLE = {
+    "pcm_s16le", "ulaw", "alaw", "wav", "adpcm", "mp1", "flac",
+}  # sparkfp.codec
 
 
 def byte_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:

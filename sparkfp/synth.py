@@ -314,6 +314,7 @@ def mixed_rate_clip_rows(
         (16000, 0, 3000),
         (22050, 1, 4500),
         (32000, 2, 2000, "mp1"),
+        (24000, 3, 1500, "flac"),
     ),
     dur_ms: int = 5000,
 ) -> list[tuple]:
@@ -327,7 +328,9 @@ def mixed_rate_clip_rows(
     rides the MPEG-1 Layer I codec, gating lossy decode + rate
     normalization + match in one row (both sides decode the same mp1
     bytes; the oracle with its scalar frame walk + triple-loop
-    filterbank)."""
+    filterbank), and the 24 kHz probe rides FLAC (lossless,
+    sparkfp/flac.py vs the oracle's scalar bit-reader + binomial
+    predictor recurrences)."""
     rows = []
     for spec in specs:
         sr, ti, off_ms = spec[:3]

@@ -608,3 +608,193 @@ def test_mp1_silence_and_empty_frames():
 
     y, _ = m.decode_mp1(m.encode_mp1(np.zeros(500), 32000, 32))
     assert len(y) >= 500 and np.abs(y).max() == 0.0
+
+
+# --------------------------------------------------------------- flac
+
+
+def _s16(pcm: np.ndarray) -> np.ndarray:
+    return np.clip(
+        np.asarray(pcm, np.float64) * 32767.0, -32768, 32767
+    ).astype(np.int64)
+
+
+def test_flac_roundtrip_bit_exact():
+    """Losslessness is the contract: decode(encode(x)) == x at the
+    s16 level, across frame-boundary shapes (sub-block, exact block,
+    block+1, multi-block) and subframe types (CONSTANT for silence,
+    FIXED for music, VERBATIM for noise)."""
+    from sparkfp import flac
+
+    rng = np.random.Generator(np.random.Philox(key=[11, 0]))
+    shapes = [
+        _signal(n=20000),                                    # FIXED
+        np.zeros(5000, np.float32),                          # CONSTANT
+        rng.uniform(-1, 1, 4096).astype(np.float32),         # VERBATIM
+        _signal(n=4097),                                     # block + 1
+        np.float32([0.25]),                                  # single sample
+        _signal(n=3),                                        # < max order
+    ]
+    for pcm in shapes:
+        raw = flac.encode_flac(pcm, 32000)
+        out, sr = flac.decode_flac(raw)
+        assert sr == 32000
+        assert np.array_equal(
+            np.round(out.astype(np.float64) * 32768).astype(np.int64),
+            _s16(pcm),
+        )
+    # and through the codec-table dispatch
+    pcm = _signal()
+    out = codec.decode(codec.encode(pcm, "flac", sr_hz=24000), "flac")
+    assert codec.snr_db(pcm, out) >= 80.0
+
+
+def test_flac_compresses_music():
+    from sparkfp import flac
+
+    pcm = _signal(n=32000)
+    raw = flac.encode_flac(pcm, 32000)
+    assert len(raw) < 0.95 * 2 * len(pcm)  # beats raw s16 (noisy signal)
+    smooth = np.sin(2 * np.pi * 220 * np.arange(32000) / 32000).astype(
+        np.float32
+    ) * 0.5
+    assert len(flac.encode_flac(smooth, 32000)) < 0.55 * 2 * len(smooth)
+
+
+def test_flac_engine_decode_equals_oracle_scalar():
+    """Vectorized ones-scan Rice decode + cumsum prediction (engine)
+    vs the oracle's per-sample bit loop + binomial recurrences."""
+    import tools.dsp_oracle as orc
+    from sparkfp import flac
+
+    pcm = _signal(n=24000, seed=3)
+    raw = flac.encode_flac(pcm, 24000)
+    eng = flac.decode_flac(raw)[0].astype(np.float64)
+    ora = np.array(orc.decode(raw, "flac"))
+    assert np.array_equal(eng, ora)
+
+
+def test_flac_integrity_layers():
+    """Every integrity layer the container carries is verified:
+    header CRC-8, frame CRC-16, stream MD5, sample count."""
+    from sparkfp import flac
+
+    pcm = _signal(n=9000)
+    raw = bytearray(flac.encode_flac(pcm, 32000))
+    flac.decode_flac(bytes(raw))  # sanity: intact stream decodes
+
+    md5_at = 8 + 18  # magic(4) + block header(4) + 18 bytes of fields
+    tampered = bytearray(raw)
+    tampered[md5_at:md5_at + 16] = b"\x01" * 16
+    with pytest.raises(ValueError, match="MD5"):
+        flac.decode_flac(bytes(tampered))
+
+    # a zeroed MD5 means "unknown" and must NOT fail the decode
+    unknown = bytearray(raw)
+    unknown[md5_at:md5_at + 16] = b"\x00" * 16
+    flac.decode_flac(bytes(unknown))
+
+    # frame-payload bit flip: CRC-16 (or rice layout) must object
+    flipped = bytearray(raw)
+    flipped[-20] ^= 0x10
+    with pytest.raises(ValueError):
+        flac.decode_flac(bytes(flipped))
+
+    # header byte flip: CRC-8 must object before the subframe parse
+    hdr_flip = bytearray(raw)
+    hdr_flip[42 + 3] ^= 0x02  # frame 0 starts at 42; byte 3 = header field
+    with pytest.raises(ValueError):
+        flac.decode_flac(bytes(hdr_flip))
+
+    with pytest.raises(ValueError, match="truncated|short stream"):
+        flac.decode_flac(bytes(raw[:100]) if len(raw) > 100 else bytes(raw[:40]))
+
+
+def test_flac_subset_boundaries():
+    """Outside-subset streams are rejected with UnsupportedCodec —
+    never garbled output."""
+    from sparkfp import flac
+
+    pcm = np.full(64, 0.5, np.float32)  # CONSTANT frame, fixed layout
+    raw = bytearray(flac.encode_flac(pcm, 8000))
+
+    stereo = bytearray(raw)
+    stereo[8 + 12] |= 0b0000_0010  # STREAMINFO channels-1: 0 -> 1
+    with pytest.raises(codec.UnsupportedCodec, match="channel"):
+        flac.decode_flac(bytes(stereo))
+
+    # frame 0 at byte 42: 4 header bytes + utf8 number(1) + blocksize(2)
+    # + crc8(1) = 8, so the subframe type byte sits at 50. Rewriting
+    # CONSTANT (000000) to LPC order 1 (100000) must raise cleanly
+    # (the subframe parse runs before the CRC-16 check).
+    lpc = bytearray(raw)
+    assert lpc[50] == 0  # pad 0 + type 000000 + wasted 0
+    lpc[50] = 0b0_100000_0
+    with pytest.raises(codec.UnsupportedCodec, match="LPC"):
+        flac.decode_flac(bytes(lpc))
+
+    for junk in (b"", b"fLa", b"XXXX" + bytes(raw[4:]), bytes(raw[:30])):
+        with pytest.raises(ValueError):
+            flac.decode_flac(junk)
+    with pytest.raises(ValueError):
+        flac.encode_flac(np.zeros(0, np.float32), 8000)
+    with pytest.raises(ValueError):
+        flac.encode_flac(pcm, 1 << 20)  # sample rate past 20 bits
+
+
+def test_flac_rice_escape_and_wasted_bits_decode():
+    """Decoder paths our encoder never emits, driven bit-for-bit:
+    the escape (raw-width) partition and the wasted-bits shift."""
+    from sparkfp import flac
+
+    # escape partition: method 00, partition order 0, param 1111,
+    # 5-bit raw width, then blocksize raw signed samples
+    vals = np.array([-63, 62, 0, -1, 7, -32, 31, 15], dtype=np.int64)
+    buf = flac._BitBuf()
+    buf.write(0, 2)
+    buf.write(0, 4)
+    buf.write(0b1111, 4)
+    buf.write(7, 5)
+    for v in vals:
+        buf.write_signed(int(v), 7)
+    buf.align()
+    raw = buf.tobytes()
+    rd = flac._BitReader(np.unpackbits(np.frombuffer(raw, np.uint8)), raw)
+    got = flac._read_residual(rd, blocksize=len(vals), order=0)
+    assert np.array_equal(got, vals)
+
+    # wasted bits: CONSTANT subframe, wasted=2, value stored at 14 bits
+    buf = flac._BitBuf()
+    buf.write(0, 1)          # pad
+    buf.write(0, 6)          # CONSTANT
+    buf.write(1, 1)          # wasted-bits flag
+    buf.write(0b01, 2)       # unary 1 -> wasted = 2
+    buf.write_signed(-1200, 14)
+    buf.align()
+    raw = buf.tobytes()
+    rd = flac._BitReader(np.unpackbits(np.frombuffer(raw, np.uint8)), raw)
+    x = flac._decode_subframe(rd, blocksize=5, bps=16)
+    assert np.array_equal(x, np.full(5, -1200 << 2))
+
+
+def test_flac_vectorized_rice_equals_scalar():
+    """The fixed-point ones-scan must agree with the always-correct
+    scalar loop on adversarial parameter/value mixes."""
+    from sparkfp import flac
+
+    rng = np.random.Generator(np.random.Philox(key=[13, 0]))
+    for k in (0, 1, 3, 7, 14):
+        res = (rng.integers(-(1 << (k + 3)), 1 << (k + 3), 500)).astype(
+            np.int64
+        )
+        buf = flac._BitBuf()
+        flac._emit_rice_partition(buf, flac._zigzag(res), k)
+        buf.align()
+        raw = buf.tobytes()
+        bits = np.unpackbits(np.frombuffer(raw, np.uint8))
+        rd_v = flac._BitReader(bits, raw)
+        rd_s = flac._BitReader(bits, raw)
+        vec = flac._rice_decode(rd_v, len(res), k)
+        sca = flac._rice_decode_scalar(rd_s, len(res), k)
+        assert np.array_equal(vec, res) and np.array_equal(sca, res)
+        assert rd_v.pos == rd_s.pos

@@ -89,6 +89,21 @@ def test_audio_roundtrip_meets_snr_contract(pcm, name):
         assert codec.snr_db(pcm, out) >= 30.0
 
 
+@settings(max_examples=40, deadline=None)
+@given(pcm_signals())
+def test_flac_roundtrip_bit_exact_property(pcm):
+    """FLAC's contract is stronger than the SNR gate: the round trip
+    must reproduce the s16 quantization bit-exactly for every signal
+    shape hypothesis can draw."""
+    out = codec.decode(codec.encode(pcm, "flac", sr_hz=16000), "flac")
+    expected = np.clip(
+        pcm.astype(np.float64) * 32767.0, -32768, 32767
+    ).astype(np.int64)
+    assert np.array_equal(
+        np.round(out.astype(np.float64) * 32768).astype(np.int64), expected
+    )
+
+
 @st.composite
 def paletted_images(draw, max_h=34, max_w=23):
     h = draw(st.integers(1, max_h))
@@ -148,7 +163,9 @@ def test_image_decoders_never_crash_with_foreign_errors(raw, image_codec):
 
 @settings(max_examples=60, deadline=None)
 @given(st.binary(min_size=0, max_size=300),
-       st.sampled_from(["pcm_s16le", "ulaw", "alaw", "wav", "adpcm", "mp1"]))
+       st.sampled_from(
+           ["pcm_s16le", "ulaw", "alaw", "wav", "adpcm", "mp1", "flac"]
+       ))
 def test_audio_decoders_never_crash_with_foreign_errors(raw, name):
     try:
         out = codec.decode(raw, name)

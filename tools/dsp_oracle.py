@@ -213,6 +213,8 @@ def decode(raw: bytes, codec_name: str) -> list[float]:
         return _decode_wav_scalar(raw)
     if codec_name == "mp1":
         return _decode_mp1_scalar(raw)
+    if codec_name == "flac":
+        return _decode_flac_scalar(raw)
     raise ValueError(f"oracle cannot decode codec {codec_name!r}")
 
 
@@ -1112,7 +1114,9 @@ def frame_features(
     decode via the oracle's scalar T.81 decoder (dict huffman + direct
     per-block IDCT), a genuine second implementation against the
     engine's vectorized einsum path."""
-    if codec_name in ("pcm_s16le", "ulaw", "alaw", "wav", "adpcm", "mp1"):
+    if codec_name in (
+        "pcm_s16le", "ulaw", "alaw", "wav", "adpcm", "mp1", "flac",
+    ):
         vals = decode(raw, codec_name)
     elif codec_name == "bmp":
         vals = decode_bmp_pixels(raw)
@@ -1272,3 +1276,157 @@ def _decode_mp1_scalar(raw: bytes) -> list[float]:
             for n in range(span):
                 out[base + n] += s * taps[n]
     return out[_MP1_DELAY:]
+
+
+# ------------------------------------------------------------- flac
+
+def _flac_crc8_scalar(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1)
+    return crc
+
+
+def _flac_crc16_scalar(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1)
+            )
+    return crc
+
+
+class _FlacBits(_Mp1Bits):
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def read_rice(self, k: int) -> int:
+        u = (self.read_unary() << k) | (self.read(k) if k else 0)
+        return -(u + 1) // 2 if u & 1 else u // 2
+
+
+def _decode_flac_scalar(raw: bytes) -> list[float]:
+    """Independent scalar FLAC decoder (fixed-predictor subset):
+    byte-at-a-time bit reader, per-sample Rice loop, and the explicit
+    binomial predictor recurrences — zero code shared with
+    sparkfp/flac.py's vectorized ones-scan/cumsum formulation."""
+    if raw[:4] != b"fLaC":
+        raise ValueError("oracle flac: bad magic")
+    pos, si = 4, None
+    while True:
+        hdr = raw[pos]
+        ln = int.from_bytes(raw[pos + 1:pos + 4], "big")
+        if (hdr & 0x7F) == 0:
+            si = raw[pos + 4:pos + 4 + ln]
+        pos += 4 + ln
+        if hdr & 0x80:
+            break
+    bits = _FlacBits(si)
+    bits.read(16), bits.read(16), bits.read(24), bits.read(24)
+    sr = bits.read(20)
+    nch = bits.read(3) + 1
+    bps = bits.read(5) + 1
+    total = bits.read(36)
+    if nch != 1 or sr == 0:
+        raise ValueError("oracle flac: outside mono subset")
+    out: list[int] = []
+    frames = raw[pos:]
+    fpos = 0  # byte offset of current frame
+    while len(out) < total:
+        b = _FlacBits(frames[fpos:])
+        if b.read(14) != 0b11111111111110:
+            raise ValueError("oracle flac: lost sync")
+        b.read(2)  # reserved + blocking strategy
+        bs_code = b.read(4)
+        if b.read(4) != 0 or b.read(4) != 0 or b.read(3) != 0:
+            raise ValueError("oracle flac: frame-local codes unsupported")
+        b.read(1)
+        # UTF-8 coded frame number: lead byte gives the length
+        lead = b.read(8)
+        n_cont = 0
+        while n_cont < 7 and lead & (0x80 >> n_cont):
+            n_cont += 1
+        for _ in range(max(0, n_cont - 1)):
+            b.read(8)
+        if bs_code == 0b0110:
+            blocksize = b.read(8) + 1
+        elif bs_code == 0b0111:
+            blocksize = b.read(16) + 1
+        elif bs_code == 0b0001:
+            blocksize = 192
+        elif 2 <= bs_code <= 5:
+            blocksize = 576 << (bs_code - 2)
+        elif bs_code >= 8:
+            blocksize = 256 << (bs_code - 8)
+        else:
+            raise ValueError("oracle flac: reserved block size")
+        hdr_len = b.p // 8
+        crc8 = b.read(8)
+        if _flac_crc8_scalar(frames[fpos:fpos + hdr_len]) != crc8:
+            raise ValueError("oracle flac: header crc8")
+        # subframe
+        if b.read(1):
+            raise ValueError("oracle flac: subframe pad bit")
+        stype = b.read(6)
+        wasted = 0
+        if b.read(1):
+            wasted = 1
+            while b.read(1) == 0:
+                wasted += 1
+        ebps = bps - wasted
+        if stype == 0:
+            x = [b.read_signed(ebps)] * blocksize
+        elif stype == 1:
+            x = [b.read_signed(ebps) for _ in range(blocksize)]
+        elif 8 <= stype <= 12:
+            order = stype - 8
+            x = [b.read_signed(ebps) for _ in range(order)]
+            res: list[int] = []
+            method = b.read(2)
+            kb = 4 + method
+            po = b.read(4)
+            for p in range(1 << po):
+                cnt = (blocksize >> po) - (order if p == 0 else 0)
+                k = b.read(kb)
+                if k == (1 << kb) - 1:
+                    w = b.read(5)
+                    res += [b.read_signed(w) if w else 0 for _ in range(cnt)]
+                else:
+                    res += [b.read_rice(k) for _ in range(cnt)]
+            for n, r in enumerate(res, start=order):
+                if order == 0:
+                    x.append(r)
+                elif order == 1:
+                    x.append(r + x[n - 1])
+                elif order == 2:
+                    x.append(r + 2 * x[n - 1] - x[n - 2])
+                elif order == 3:
+                    x.append(r + 3 * x[n - 1] - 3 * x[n - 2] + x[n - 3])
+                else:
+                    x.append(
+                        r + 4 * x[n - 1] - 6 * x[n - 2] + 4 * x[n - 3]
+                        - x[n - 4]
+                    )
+        else:
+            raise ValueError(f"oracle flac: subframe type {stype}")
+        if wasted:
+            x = [v << wasted for v in x]
+        b.p += (-b.p) % 8
+        body_len = b.p // 8
+        crc16 = b.read(16)
+        if _flac_crc16_scalar(frames[fpos:fpos + body_len]) != crc16:
+            raise ValueError("oracle flac: frame crc16")
+        out += x
+        fpos += body_len + 2
+    return [v / float(1 << (bps - 1)) for v in out[:total]]

@@ -117,14 +117,15 @@ def frame_feature_inputs(track_ids: list[str]) -> list[tuple[str, bytes, str]]:
          synth.clip_row(f"{cname}_00", track_ids, codec_name=cname)[1], cname)
         for cname in ("alaw", "wav", "adpcm")
     ]
-    # MPEG-1 Layer I row (lossy frame codec): reuse the 32 kHz
-    # mixed-rate probe's bytes so construction stays shared with the
-    # audio_match foreign-rate row; the oracle decodes it with its
-    # scalar frame walk + triple-loop synthesis filterbank
+    # frame-codec rows: reuse the mixed-rate probes' bytes so
+    # construction stays shared with the audio_match foreign-rate
+    # rows — mp1 (lossy; oracle = scalar frame walk + triple-loop
+    # synthesis filterbank) and flac (lossless; oracle = scalar
+    # bit reader + binomial predictor recurrences)
     items += [
         (row[0], row[1], row[4])
         for row in synth.mixed_rate_clip_rows(track_ids)
-        if row[4] == "mp1"
+        if row[4] in ("mp1", "flac")
     ]
     # h264 = the remaining deterministic-fake boundary (needs ffmpeg)
     items += [
