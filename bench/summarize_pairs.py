@@ -194,6 +194,34 @@ def main() -> None:
                 f"{small}c {bn[0]:.0f} [{bn[2]}]); best estimate {est:.3f} "
                 f"e2e{s_est} (vs median {small}c {med_n:.0f}, n={len(by_cores[small])})"
             )
+
+    # Work conservation (throttle-independent): cpu_s/clip of the whole
+    # spark-submit tree should be FLAT across allocations if the plan
+    # adds no parallel overhead. rusage CPU time inflates under
+    # hypervisor frequency capping (a slow-clocked CPU-second does less
+    # work), so cpu_ratio >> 1 on a slow wide leg is the environment's
+    # signature, not the engine's: the same code doing the same work
+    # cannot legitimately need 2x the instructions at 4x parallelism.
+    # Mechanical check: cpu_ratio vs the wide leg's throughput.
+    conserv = []
+    for label, legs in pairs.items():
+        n, x4 = legs.get("n"), legs.get("4n")
+        if not (n and x4 and n.get("cpu_s_per_clip") and x4.get("cpu_s_per_clip")):
+            continue
+        conserv.append(
+            (x4["clips_per_sec"], x4["cpu_s_per_clip"] / n["cpu_s_per_clip"],
+             label)
+        )
+    if conserv:
+        conserv.sort(reverse=True)
+        lines.append(
+            "work conservation (pairs with cpu data, fastest wide leg "
+            "first): "
+            + "; ".join(
+                f"{lbl}: {tp:.0f} clips/s @ cpu_ratio {r:.2f}"
+                for tp, r, lbl in conserv
+            )
+        )
     out = "\n".join(lines)
     print(out)
     if write:

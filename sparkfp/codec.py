@@ -358,16 +358,20 @@ _BMP_FILE_HEADER = 14
 _BMP_INFO_HEADER = 40
 
 
-def encode_image(img: np.ndarray, codec: str, png_filter: int = 0) -> bytes:
+def encode_image(
+    img: np.ndarray, codec: str, png_filter: int = 0,
+    png_interlace: bool = False,
+) -> bytes:
     """HxWx3 uint8 RGB -> bytes (bmp: 24-bit BI_RGB bottom-up; ppm: P6;
     png: 8-bit RGB, every scanline under ``png_filter`` 0-4 — the
-    filter knob exists so tests can exercise each PNG unfilter path)."""
+    filter knob exists so tests can exercise each PNG unfilter path;
+    ``png_interlace`` emits Adam7)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError(f"expected HxWx3 RGB, got shape {img.shape}")
     h, w, _ = img.shape
     if codec == "png":
-        return _encode_png(img, png_filter)
+        return _encode_png(img, png_filter, png_interlace)
     if codec == "jpeg":
         from . import jpeg as _jpeg
 
@@ -527,8 +531,8 @@ def _decode_png(raw: bytes) -> np.ndarray:
         raise UnsupportedCodec(f"png bit depth {depth}")
     if color not in _PNG_CHANNELS:
         raise UnsupportedCodec(f"png color type {color}")
-    if interlace:
-        raise UnsupportedCodec("png interlaced (Adam7)")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if comp != 0 or filt != 0:
         raise ValueError(f"bad PNG compression/filter method {comp}/{filt}")
     if w <= 0 or h <= 0:
@@ -538,10 +542,57 @@ def _decode_png(raw: bytes) -> np.ndarray:
     except zlib.error as e:
         raise ValueError(f"bad PNG deflate stream: {e}") from e
     nch = _PNG_CHANNELS[color]
-    stride = w * nch
-    if len(dec) != h * (1 + stride):
-        raise ValueError("PNG pixel data length mismatch")
-    lines = np.frombuffer(dec, dtype=np.uint8).reshape(h, 1 + stride)
+    if interlace:
+        # Adam7: seven independently-filtered reduced images,
+        # scattered back onto the (x0 + i*dx, y0 + j*dy) grids
+        img3 = np.zeros((h, w, nch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * nch
+            need = ph * (1 + pstride)
+            if len(dec) - off < need:
+                raise ValueError("PNG pixel data length mismatch")
+            lines = np.frombuffer(
+                dec, dtype=np.uint8, count=need, offset=off
+            ).reshape(ph, 1 + pstride)
+            img3[y0::dy, x0::dx] = _png_unfilter(lines, nch).reshape(
+                ph, pw, nch
+            )
+            off += need
+        if off != len(dec):
+            raise ValueError("PNG pixel data length mismatch")
+        img = img3
+    else:
+        stride = w * nch
+        if len(dec) != h * (1 + stride):
+            raise ValueError("PNG pixel data length mismatch")
+        lines = np.frombuffer(dec, dtype=np.uint8).reshape(h, 1 + stride)
+        img = _png_unfilter(lines, nch).reshape(h, w, nch)
+    if nch == 1:
+        img = np.repeat(img.reshape(h, w, 1), 3, axis=2)
+    elif nch == 4:
+        img = img[:, :, :3]  # alpha dropped, matching the BMP 32bpp path
+    return np.ascontiguousarray(img)
+
+
+# Adam7 pass grid: (x offset, y offset, x stride, y stride)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(lines: np.ndarray, nch: int) -> np.ndarray:
+    """(n, 1+stride) filter-byte-led scanlines -> (n, stride) pixels.
+    Sub uses a per-channel modular cumsum; Average/Paeth carry a true
+    left dependence so those rows run a scalar loop — acceptable
+    because filtered rows are a per-image cost inside an Arrow batch,
+    and this container has no C decoder to call."""
+    h, stride = lines.shape[0], lines.shape[1] - 1
     ftypes, data = lines[:, 0], lines[:, 1:]
     recon = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
@@ -575,25 +626,14 @@ def _decode_png(raw: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG scanline filter type {f}")
         recon[y] = cur
         prev = cur
-    img = recon.reshape(h, w, nch)
-    if nch == 1:
-        img = np.repeat(img[:, :, None].reshape(h, w, 1), 3, axis=2)
-    elif nch == 4:
-        img = img[:, :, :3]  # alpha dropped, matching the BMP 32bpp path
-    return np.ascontiguousarray(img)
+    return recon
 
 
-def _encode_png(img: np.ndarray, png_filter: int) -> bytes:
-    """8-bit RGB PNG with every scanline filtered under `png_filter`
-    (0-4) — vectorized filtering from the original pixels; the filter
-    knob lets tests drive each decoder reconstruction path."""
-    import struct
-    import zlib
-
-    if png_filter not in (0, 1, 2, 3, 4):
-        raise ValueError(f"png_filter must be 0-4, got {png_filter}")
+def _png_filter_pass(img: np.ndarray, png_filter: int) -> bytes:
+    """One (sub-)image -> filter-byte-led scanline bytes, every line
+    under `png_filter` (0-4); vectorized from the original pixels."""
     h, w, nch = img.shape
-    flat = img.reshape(h, w * nch).astype(np.int32)
+    flat = np.ascontiguousarray(img).reshape(h, w * nch).astype(np.int32)
     left = np.zeros_like(flat)
     left[:, nch:] = flat[:, :-nch]
     up = np.zeros_like(flat)
@@ -620,6 +660,28 @@ def _encode_png(img: np.ndarray, png_filter: int) -> bytes:
          (filtered & 0xFF).astype(np.uint8)],
         axis=1,
     )
+    return scan.tobytes()
+
+
+def _encode_png(img: np.ndarray, png_filter: int, interlace: bool = False) -> bytes:
+    """8-bit RGB PNG with every scanline filtered under `png_filter`
+    (0-4) — the filter knob lets tests drive each decoder
+    reconstruction path. `interlace` emits Adam7: each of the seven
+    reduced images filtered independently, per the spec."""
+    import struct
+    import zlib
+
+    if png_filter not in (0, 1, 2, 3, 4):
+        raise ValueError(f"png_filter must be 0-4, got {png_filter}")
+    h, w, _ = img.shape
+    if interlace:
+        scan = b"".join(
+            _png_filter_pass(img[y0::dy, x0::dx], png_filter)
+            for x0, y0, dx, dy in _ADAM7
+            if img[y0::dy, x0::dx].size
+        )
+    else:
+        scan = _png_filter_pass(img, png_filter)
 
     def chunk(ctype: bytes, payload: bytes) -> bytes:
         return (
@@ -627,11 +689,11 @@ def _encode_png(img: np.ndarray, png_filter: int) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(scan.tobytes()))
+        + chunk(b"IDAT", zlib.compress(scan))
         + chunk(b"IEND", b"")
     )
 

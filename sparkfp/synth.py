@@ -297,14 +297,17 @@ def image_pixels(image_id: str, h: int = 24, w: int = 17, seed: int = 42) -> np.
 
 
 def image_bytes(
-    image_id: str, image_codec: str = "bmp", png_filter: int = 0, **kw
+    image_id: str, image_codec: str = "bmp", png_filter: int = 0,
+    png_interlace: bool = False, **kw
 ) -> bytes:
     """Encoded deterministic test image (input construction, shared by
     the entry query and the fixture generator — the oracle decodes it
     with its own independent scalar parser). png_filter selects the PNG
-    scanline filter so fixtures exercise each reconstruction path."""
+    scanline filter so fixtures exercise each reconstruction path;
+    png_interlace emits Adam7."""
     return codec.encode_image(
-        image_pixels(image_id, **kw), image_codec, png_filter=png_filter
+        image_pixels(image_id, **kw), image_codec, png_filter=png_filter,
+        png_interlace=png_interlace,
     )
 
 

@@ -798,3 +798,52 @@ def test_flac_vectorized_rice_equals_scalar():
         sca = flac._rice_decode_scalar(rd_s, len(res), k)
         assert np.array_equal(vec, res) and np.array_equal(sca, res)
         assert rd_v.pos == rd_s.pos
+
+
+def test_png_adam7_interlace_roundtrip_and_oracle_parity():
+    """Adam7: engine strided-scatter decode vs the oracle's scalar
+    per-pass grid walk, across shapes that leave some passes empty."""
+    import tools.dsp_oracle as orc
+    from sparkfp import synth
+
+    for h, w in [(24, 17), (7, 9), (1, 1), (3, 10), (9, 8)]:
+        img = synth.image_pixels(f"il{h}x{w}", h=h, w=w)
+        raw = codec.encode_image(
+            img, "png", png_filter=2, png_interlace=True
+        )
+        assert np.array_equal(codec.decode_image(raw, "png"), img)
+        ora = np.array(orc.decode_png_pixels(raw)).reshape(h, w, 3)
+        assert np.array_equal(ora.astype(np.uint8), img)
+    # interlaced stream with truncated last pass must raise ValueError
+    img = synth.image_pixels("il_t", h=16, w=16)
+    raw = codec.encode_image(img, "png", png_filter=0, png_interlace=True)
+    import struct
+    import zlib
+
+    # rebuild the IDAT with one byte chopped off the decompressed tail
+    pos, idat = 8, b""
+    chunks = []
+    while pos + 12 <= len(raw):
+        ln = int.from_bytes(raw[pos:pos + 4], "big")
+        ctype = raw[pos + 4:pos + 8]
+        body = raw[pos + 8:pos + 8 + ln]
+        chunks.append((ctype, body))
+        if ctype == b"IDAT":
+            idat += body
+        pos += 12 + ln
+    short = zlib.compress(zlib.decompress(idat)[:-1])
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    rebuilt = (
+        raw[:8]
+        + chunk(b"IHDR", dict(chunks)[b"IHDR"])
+        + chunk(b"IDAT", short)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="length mismatch"):
+        codec.decode_image(rebuilt, "png")

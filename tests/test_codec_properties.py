@@ -42,10 +42,11 @@ def test_lossless_image_roundtrip_exact(img, image_codec):
 
 
 @settings(max_examples=40, deadline=None)
-@given(images(), st.integers(0, 4))
-def test_png_roundtrip_exact_property(img, f):
+@given(images(), st.integers(0, 4), st.booleans())
+def test_png_roundtrip_exact_property(img, f, interlace):
     out = codec.decode_image(
-        codec.encode_image(img, "png", png_filter=f), "png"
+        codec.encode_image(img, "png", png_filter=f, png_interlace=interlace),
+        "png",
     )
     assert np.array_equal(out, img)
 

@@ -609,40 +609,69 @@ def decode_png_pixels(raw: bytes) -> list[float]:
         raise ValueError("png missing IHDR")
     w = int.from_bytes(hdr[0:4], "big")
     h = int.from_bytes(hdr[4:8], "big")
-    depth, color = hdr[8], hdr[9]
-    if depth != 8 or color != 2 or hdr[12] != 0:
-        raise ValueError("oracle handles 8-bit RGB non-interlaced only")
+    depth, color, interlace = hdr[8], hdr[9], hdr[12]
+    if depth != 8 or color != 2 or interlace not in (0, 1):
+        raise ValueError("oracle handles 8-bit RGB only")
     dec = zlib.decompress(idat)
+
+    def unfilter(base: int, ph: int, pw: int) -> list[list[int]]:
+        stride = 3 * pw
+        rows: list[list[int]] = []
+        prev = [0] * stride
+        for y in range(ph):
+            off = base + y * (stride + 1)
+            ftype = dec[off]
+            cur = [0] * stride
+            for i in range(stride):
+                x = dec[off + 1 + i]
+                a = cur[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                if ftype == 0:
+                    r = x
+                elif ftype == 1:
+                    r = x + a
+                elif ftype == 2:
+                    r = x + b
+                elif ftype == 3:
+                    r = x + (a + b) // 2
+                elif ftype == 4:
+                    r = x + _paeth(a, b, c)
+                else:
+                    raise ValueError(f"png filter {ftype}")
+                cur[i] = r % 256
+            rows.append(cur)
+            prev = cur
+        return rows
+
+    if interlace:
+        # Adam7: scalar pass walk mirroring the spec grids, nothing
+        # shared with the engine's strided-scatter reconstruction
+        grid = [[0] * (3 * w) for _ in range(h)]
+        base = 0
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            if len(dec) - base < ph * (3 * pw + 1):
+                raise ValueError("png data length mismatch")
+            for j, row in enumerate(unfilter(base, ph, pw)):
+                y = y0 + j * dy
+                for i in range(pw):
+                    x = x0 + i * dx
+                    grid[y][3 * x:3 * x + 3] = row[3 * i:3 * i + 3]
+            base += ph * (3 * pw + 1)
+        if base != len(dec):
+            raise ValueError("png data length mismatch")
+        return [float(v) for row in grid for v in row]
     stride = 3 * w
     if len(dec) != h * (stride + 1):
         raise ValueError("png data length mismatch")
-    vals: list[float] = []
-    prev = [0] * stride
-    for y in range(h):
-        base = y * (stride + 1)
-        ftype = dec[base]
-        cur = [0] * stride
-        for i in range(stride):
-            x = dec[base + 1 + i]
-            a = cur[i - 3] if i >= 3 else 0
-            b = prev[i]
-            c = prev[i - 3] if i >= 3 else 0
-            if ftype == 0:
-                r = x
-            elif ftype == 1:
-                r = x + a
-            elif ftype == 2:
-                r = x + b
-            elif ftype == 3:
-                r = x + (a + b) // 2
-            elif ftype == 4:
-                r = x + _paeth(a, b, c)
-            else:
-                raise ValueError(f"png filter {ftype}")
-            cur[i] = r % 256
-        vals.extend(float(v) for v in cur)
-        prev = cur
-    return vals
+    return [float(v) for row in unfilter(0, h, w) for v in row]
 
 
 _JPEG_COS = [

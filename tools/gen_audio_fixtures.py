@@ -177,6 +177,13 @@ def frame_feature_inputs(track_ids: list[str]) -> list[tuple[str, bytes, str]]:
          synth.image_bytes(f"png_{i:02d}", "png", png_filter=i + 1), "png")
         for i in range(N_FRAME_PNGS)
     ]
+    # Adam7 interlaced PNG: the engine's strided-scatter pass walk vs
+    # the oracle's scalar per-pass grid placement
+    items += [
+        ("png_il",
+         synth.image_bytes("png_il", "png", png_filter=4,
+                           png_interlace=True), "png"),
+    ]
     # real GIF rows (LZW indexed color): one sequential, one 4-pass
     # interlaced — the oracle decodes both with its own chain-table LZW
     # and scalar de-interlace walk
