@@ -2,8 +2,10 @@
 
 The clip table carries opaque ``bytes`` + a ``codec`` tag
 (BASELINE.json input_hint). Real codecs (pure numpy, vectorized):
-``pcm_s16le``, ``ulaw`` / ``alaw`` (G.711), ``wav`` (RIFF linear
-PCM), ``adpcm`` (IMA ADPCM in RIFF), ``mp1`` (MPEG-1 Audio
+``pcm_s16le``, ``ulaw`` / ``alaw`` (G.711), ``wav`` (RIFF: integer
+PCM 8/16/24/32-bit, IEEE float32/64, G.711 payload tags 6/7, and
+WAVE_FORMAT_EXTENSIBLE routing), ``adpcm`` (IMA ADPCM in RIFF),
+``mp1`` (MPEG-1 Audio
 Layer I, sparkfp/mpeg_audio.py), and ``flac`` (lossless,
 sparkfp/flac.py). What's left (mp3 Layer III / ogg / aac would need
 external decoder libs not present in this container) is stubbed
@@ -156,12 +158,23 @@ def _encode_wav(s16: np.ndarray, sr_hz: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# WAVE_FORMAT_EXTENSIBLE SubFormat GUIDs are <effective tag:2 LE
+# bytes> + this fixed 14-byte suffix (Microsoft media-type namespace)
+_WAVE_EXT_GUID_SUFFIX = (
+    b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+)
+
+
 def _decode_wav(raw: bytes) -> np.ndarray:
     """RIFF/WAVE chunk walk -> float32 PCM in [-1,1]. Supports mono or
-    multi-channel 16-bit integer PCM (format tag 1); channels are
-    averaged to mono, matching the decode contract's single-series
-    output. Foreign-writer extras (LIST/fact chunks, padded sizes)
-    are skipped by the chunk walk."""
+    multi-channel integer PCM at 8/16/24/32 bit (format tag 1), IEEE
+    float32/float64 (tag 3), G.711 A-law/mu-law payloads (tags 6/7),
+    mono IMA ADPCM (tag 0x11), and WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+    routed on the SubFormat GUID — the shapes a mixed web corpus of
+    RIFF files actually contains. Channels are averaged to mono,
+    matching the decode contract's single-series output.
+    Foreign-writer extras (LIST/fact chunks, padded sizes) are
+    skipped by the chunk walk."""
     import struct
 
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
@@ -188,18 +201,132 @@ def _decode_wav(raw: bytes) -> np.ndarray:
         # ValueError contract the media path catches per-row
         raise ValueError(f"short WAV fmt chunk ({len(fmt)} bytes)")
     tag, nch, _sr, _bps_avg, block, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag == 0xFFFE:
+        # extensible: cbSize(2) validBits(2) channelMask(4) GUID(16)
+        if len(fmt) < 40:
+            raise ValueError(f"short extensible WAV fmt chunk ({len(fmt)})")
+        guid = fmt[24:40]
+        if guid[2:] != _WAVE_EXT_GUID_SUFFIX:
+            raise UnsupportedCodec(f"wav extensible SubFormat {guid.hex()}")
+        (tag,) = struct.unpack_from("<H", guid, 0)
     if tag == 0x11 and bits == 4:
         if nch != 1:
             raise UnsupportedCodec(f"{nch}-channel IMA ADPCM")
         return _decode_adpcm_blocks(data, block, fact)
-    if tag != 1 or bits != 16:
-        raise UnsupportedCodec(f"wav format tag {tag} / {bits}-bit")
     if nch < 1:
         raise ValueError(f"bad WAV channel count {nch}")
-    pcm = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    if tag == 1 and bits == 16:
+        # the original path, kept byte-identical (fixtures pin it):
+        # integer channel mean first, then one normalize
+        pcm = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+        if nch > 1:
+            pcm = pcm[: len(pcm) - len(pcm) % nch].reshape(-1, nch).mean(axis=1)
+        return (pcm.astype(np.float32) / 32768.0).astype(np.float32)
+    if tag == 1 and bits == 8:
+        # 8-bit PCM is unsigned with 128 = silence, per the RIFF spec
+        f = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif tag == 1 and bits == 24:
+        b = np.frombuffer(data, dtype=np.uint8, count=len(data) - len(data) % 3)
+        b = b.reshape(-1, 3).astype(np.int32)
+        s = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        s = np.where(s >= 1 << 23, s - (1 << 24), s)  # sign-extend
+        f = s.astype(np.float64) / float(1 << 23)
+    elif tag == 1 and bits == 32:
+        f = np.frombuffer(data, dtype="<i4").astype(np.float64) / float(1 << 31)
+    elif tag == 3 and bits == 32:
+        f = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    elif tag == 3 and bits == 64:
+        f = np.frombuffer(data, dtype="<f8").astype(np.float64)
+    elif tag == 6 and bits == 8:
+        f = _alaw_to_linear(np.frombuffer(data, dtype=np.uint8)).astype(
+            np.float64) / 32768.0
+    elif tag == 7 and bits == 8:
+        f = _ulaw_to_linear(np.frombuffer(data, dtype=np.uint8)).astype(
+            np.float64) / 32768.0
+    else:
+        raise UnsupportedCodec(f"wav format tag {tag} / {bits}-bit")
     if nch > 1:
-        pcm = pcm[: len(pcm) - len(pcm) % nch].reshape(-1, nch).mean(axis=1)
-    return (pcm.astype(np.float32) / 32768.0).astype(np.float32)
+        f = f[: len(f) - len(f) % nch].reshape(-1, nch).mean(axis=1)
+    return f.astype(np.float32)
+
+
+def encode_wav_variant(
+    pcm: np.ndarray,
+    sr_hz: int = 8000,
+    bits: int = 16,
+    sample_format: str = "pcm",
+    extensible: bool = False,
+) -> bytes:
+    """float32/float64 [-1,1] -> RIFF/WAVE bytes in one of the breadth
+    formats ``_decode_wav`` accepts: integer PCM at 8/16/24/32 bit
+    (``sample_format='pcm'``), IEEE float32/64 (``'float'``), or G.711
+    payloads (``'alaw'``/``'ulaw'``, 8-bit). ``pcm`` is ``(n,)`` mono
+    or ``(n, nch)`` multi-channel (interleaved on write).
+    ``extensible=True`` wraps the format in WAVE_FORMAT_EXTENSIBLE
+    (tag 0xFFFE + SubFormat GUID), the container modern writers emit
+    for >16-bit or multi-channel files."""
+    import struct
+
+    x = np.asarray(pcm, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    nch = x.shape[1]
+    if sample_format == "pcm" and bits == 8:
+        tag = 1
+        payload = (
+            np.clip(np.round(x * 127.0) + 128.0, 0, 255)
+            .astype(np.uint8).tobytes()
+        )
+    elif sample_format == "pcm" and bits == 16:
+        tag = 1
+        payload = _f32_to_s16(x.ravel()).tobytes()
+    elif sample_format == "pcm" and bits == 24:
+        tag = 1
+        s = np.clip(
+            np.round(x * float((1 << 23) - 1)), -(1 << 23), (1 << 23) - 1
+        ).astype(np.int32).ravel()
+        u = np.where(s < 0, s + (1 << 24), s).astype(np.uint32)
+        out = np.empty((len(u), 3), dtype=np.uint8)
+        out[:, 0] = u & 0xFF
+        out[:, 1] = (u >> 8) & 0xFF
+        out[:, 2] = (u >> 16) & 0xFF
+        payload = out.tobytes()
+    elif sample_format == "pcm" and bits == 32:
+        tag = 1
+        payload = np.clip(
+            np.round(x * float((1 << 31) - 1)), -(1 << 31), (1 << 31) - 1
+        ).astype("<i4").ravel().tobytes()
+    elif sample_format == "float" and bits == 32:
+        tag = 3
+        payload = x.astype("<f4").ravel().tobytes()
+    elif sample_format == "float" and bits == 64:
+        tag = 3
+        payload = x.astype("<f8").ravel().tobytes()
+    elif sample_format == "alaw" and bits == 8:
+        tag = 6
+        payload = _linear_to_alaw(_f32_to_s16(x.ravel())).tobytes()
+    elif sample_format == "ulaw" and bits == 8:
+        tag = 7
+        payload = _linear_to_ulaw(_f32_to_s16(x.ravel())).tobytes()
+    else:
+        raise ValueError(f"unsupported wav variant {sample_format}/{bits}")
+    block = nch * bits // 8
+    if extensible:
+        guid = struct.pack("<H", tag) + _WAVE_EXT_GUID_SUFFIX
+        fmt = struct.pack(
+            "<HHIIHHHHI", 0xFFFE, nch, sr_hz, sr_hz * block, block, bits,
+            22, bits, 0,
+        ) + guid
+    else:
+        fmt = struct.pack("<HHIIHH", tag, nch, sr_hz, sr_hz * block, block, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    if len(payload) & 1:
+        body += b"\x00"  # RIFF word alignment pad
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 # ----------------------- IMA/DVI ADPCM (WAVE format tag 0x11) -------
@@ -360,18 +487,19 @@ _BMP_INFO_HEADER = 40
 
 def encode_image(
     img: np.ndarray, codec: str, png_filter: int = 0,
-    png_interlace: bool = False,
+    png_interlace: bool = False, png_palette: bool = False,
 ) -> bytes:
     """HxWx3 uint8 RGB -> bytes (bmp: 24-bit BI_RGB bottom-up; ppm: P6;
     png: 8-bit RGB, every scanline under ``png_filter`` 0-4 — the
     filter knob exists so tests can exercise each PNG unfilter path;
-    ``png_interlace`` emits Adam7)."""
+    ``png_interlace`` emits Adam7; ``png_palette`` emits indexed
+    color)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError(f"expected HxWx3 RGB, got shape {img.shape}")
     h, w, _ = img.shape
     if codec == "png":
-        return _encode_png(img, png_filter, png_interlace)
+        return _encode_png(img, png_filter, png_interlace, png_palette)
     if codec == "jpeg":
         from . import jpeg as _jpeg
 
@@ -488,9 +616,10 @@ def _decode_ppm(raw: bytes) -> np.ndarray:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# color type -> samples per pixel (8-bit depth only; palette/16-bit
-# would need more machinery than the fixtures justify)
-_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+# color type -> samples per pixel (8-bit depth only; 16-bit would
+# need more machinery than the fixtures justify). 3 = palette: one
+# index byte per pixel, mapped through the PLTE chunk after unfilter.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
 
 
 def _decode_png(raw: bytes) -> np.ndarray:
@@ -506,7 +635,7 @@ def _decode_png(raw: bytes) -> np.ndarray:
 
     if raw[:8] != _PNG_SIG:
         raise ValueError("not a PNG file")
-    pos, ihdr, idat, saw_iend = 8, None, [], False
+    pos, ihdr, idat, plte, saw_iend = 8, None, [], None, False
     while pos + 8 <= len(raw):
         (ln,) = struct.unpack_from(">I", raw, pos)
         ctype = raw[pos + 4: pos + 8]
@@ -521,6 +650,8 @@ def _decode_png(raw: bytes) -> np.ndarray:
             ihdr = data
         elif ctype == b"IDAT":
             idat.append(data)
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IEND":
             saw_iend = True
             break
@@ -572,7 +703,15 @@ def _decode_png(raw: bytes) -> np.ndarray:
             raise ValueError("PNG pixel data length mismatch")
         lines = np.frombuffer(dec, dtype=np.uint8).reshape(h, 1 + stride)
         img = _png_unfilter(lines, nch).reshape(h, w, nch)
-    if nch == 1:
+    if color == 3:
+        if plte is None or len(plte) == 0 or len(plte) % 3:
+            raise ValueError("missing or malformed PLTE chunk")
+        palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = img.reshape(h, w)
+        if int(idx.max()) >= len(palette):
+            raise ValueError("PNG palette index out of range")
+        img = palette[idx]
+    elif nch == 1:
         img = np.repeat(img.reshape(h, w, 1), 3, axis=2)
     elif nch == 4:
         img = img[:, :, :3]  # alpha dropped, matching the BMP 32bpp path
@@ -663,25 +802,41 @@ def _png_filter_pass(img: np.ndarray, png_filter: int) -> bytes:
     return scan.tobytes()
 
 
-def _encode_png(img: np.ndarray, png_filter: int, interlace: bool = False) -> bytes:
-    """8-bit RGB PNG with every scanline filtered under `png_filter`
-    (0-4) — the filter knob lets tests drive each decoder
-    reconstruction path. `interlace` emits Adam7: each of the seven
-    reduced images filtered independently, per the spec."""
+def _encode_png(
+    img: np.ndarray, png_filter: int, interlace: bool = False,
+    palette: bool = False,
+) -> bytes:
+    """8-bit PNG with every scanline filtered under `png_filter` (0-4)
+    — the filter knob lets tests drive each decoder reconstruction
+    path. `interlace` emits Adam7 (each of the seven reduced images
+    filtered independently, per the spec); `palette` emits indexed
+    color (type 3, PLTE chunk) for images with <= 256 distinct
+    colors."""
     import struct
     import zlib
 
     if png_filter not in (0, 1, 2, 3, 4):
         raise ValueError(f"png_filter must be 0-4, got {png_filter}")
     h, w, _ = img.shape
+    plte = b""
+    if palette:
+        pal, inv = np.unique(img.reshape(-1, 3), axis=0, return_inverse=True)
+        if len(pal) > 256:
+            raise ValueError(
+                f"palette PNG needs <= 256 distinct colors, got {len(pal)}"
+            )
+        src = inv.astype(np.uint8).reshape(h, w, 1)
+        color, plte = 3, pal.astype(np.uint8).tobytes()
+    else:
+        src, color = img, 2
     if interlace:
         scan = b"".join(
-            _png_filter_pass(img[y0::dy, x0::dx], png_filter)
+            _png_filter_pass(src[y0::dy, x0::dx], png_filter)
             for x0, y0, dx, dy in _ADAM7
-            if img[y0::dy, x0::dx].size
+            if src[y0::dy, x0::dx].size
         )
     else:
-        scan = _png_filter_pass(img, png_filter)
+        scan = _png_filter_pass(src, png_filter)
 
     def chunk(ctype: bytes, payload: bytes) -> bytes:
         return (
@@ -689,10 +844,11 @@ def _encode_png(img: np.ndarray, png_filter: int, interlace: bool = False) -> by
             + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, int(interlace))
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
+        + (chunk(b"PLTE", plte) if palette else b"")
         + chunk(b"IDAT", zlib.compress(scan))
         + chunk(b"IEND", b"")
     )

@@ -847,3 +847,155 @@ def test_png_adam7_interlace_roundtrip_and_oracle_parity():
     )
     with pytest.raises(ValueError, match="length mismatch"):
         codec.decode_image(rebuilt, "png")
+
+
+def test_png_palette_roundtrip_and_oracle_parity():
+    """Indexed-color PNG (type 3, PLTE): engine np.unique palette +
+    vectorized lookup vs the oracle's scalar per-index expansion,
+    composed with interlace and each filter."""
+    import tools.dsp_oracle as orc
+    from sparkfp import synth
+
+    img = synth.paletted_pixels("pal_t", h=19, w=13, n_colors=30)
+    for interlace in (False, True):
+        for f in (0, 1, 4):
+            raw = codec.encode_image(
+                img, "png", png_filter=f, png_interlace=interlace,
+                png_palette=True,
+            )
+            assert np.array_equal(codec.decode_image(raw, "png"), img)
+            ora = np.array(orc.decode_png_pixels(raw)).reshape(19, 13, 3)
+            assert np.array_equal(ora.astype(np.uint8), img)
+    # indexed beats RGB for palette-limited content
+    rgb = codec.encode_image(img, "png", png_filter=1)
+    pal = codec.encode_image(img, "png", png_filter=1, png_palette=True)
+    assert len(pal) < len(rgb)
+    # > 256 distinct colors cannot be palette-encoded
+    big = synth.image_pixels("pal_big", h=30, w=30)
+    with pytest.raises(ValueError, match="256"):
+        codec.encode_image(big, "png", png_palette=True)
+    # out-of-range palette index in a crafted stream raises ValueError
+    import struct
+    import zlib
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    scan = b"\x00\x05"  # one pixel, index 5, but palette has 2 entries
+    crafted = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes(6))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        codec.decode_image(crafted, "png")
+    # palette image with a missing PLTE chunk raises ValueError
+    no_plte = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        codec.decode_image(no_plte, "png")
+
+
+# --------------------------- WAV format breadth (tags 1/3/6/7/0xFFFE)
+
+
+_WAV_VARIANTS = [
+    ("pcm", 8, 35.0),     # 8-bit quantization ~43 dB on this signal
+    ("pcm", 24, 60.0),
+    ("pcm", 32, 60.0),
+    ("float", 32, 80.0),
+    ("float", 64, 80.0),
+    ("alaw", 8, 30.0),    # G.711 payload inside RIFF
+    ("ulaw", 8, 30.0),
+]
+
+
+@pytest.mark.parametrize("sample_format,bits,snr_floor", _WAV_VARIANTS)
+@pytest.mark.parametrize("extensible", [False, True])
+def test_wav_variant_roundtrip_and_oracle_parity(
+    sample_format, bits, snr_floor, extensible
+):
+    """Every breadth format round-trips above its quantization floor,
+    and the engine's vectorized frombuffer/bit-assembly decode equals
+    the oracle's per-sample struct walk exactly (same float64 math,
+    rounded once to float32)."""
+    import tools.dsp_oracle as orc
+
+    pcm = _signal(n=2001)
+    raw = codec.encode_wav_variant(
+        pcm, 8000, bits=bits, sample_format=sample_format,
+        extensible=extensible,
+    )
+    eng = codec.decode(raw, "wav")
+    assert len(eng) == len(pcm)
+    assert codec.snr_db(pcm, eng) >= snr_floor
+    ora = np.array(orc.decode(raw, "wav"), dtype=np.float64)
+    assert np.array_equal(eng, ora.astype(np.float32))
+
+
+def test_wav_stereo_channels_are_averaged():
+    """Decorrelated stereo decodes to the per-frame channel mean (not
+    ch0), for both the legacy 16-bit path and a breadth format."""
+    import tools.dsp_oracle as orc
+
+    x = _signal(n=1500)
+    d = 0.25 * _signal(n=1500, seed=11)
+    stereo = np.stack([np.clip(x + d, -1, 1), np.clip(x - d, -1, 1)], axis=1)
+    for sample_format, bits in (("pcm", 16), ("pcm", 24), ("float", 32)):
+        raw = codec.encode_wav_variant(
+            stereo, 8000, bits=bits, sample_format=sample_format,
+            extensible=(bits == 24),
+        )
+        eng = codec.decode(raw, "wav")
+        assert len(eng) == len(x)
+        # the mean of (x+d, x-d) recovers x up to quantization
+        assert codec.snr_db(
+            np.clip(x + d, -1, 1) / 2 + np.clip(x - d, -1, 1) / 2, eng
+        ) >= 35.0
+        ora = np.array(orc.decode(raw, "wav"), dtype=np.float64)
+        assert np.array_equal(eng, ora.astype(np.float32))
+
+
+def test_wav_variant_error_paths():
+    import struct
+
+    pcm = _signal(n=400)
+    # unknown extensible SubFormat GUID -> UnsupportedCodec
+    raw = bytearray(
+        codec.encode_wav_variant(pcm, 8000, bits=24, extensible=True)
+    )
+    fmt_at = raw.index(b"fmt ") + 8
+    raw[fmt_at + 27] = 0xEE  # corrupt the GUID suffix (fmt[24:40][3])
+    with pytest.raises(codec.UnsupportedCodec, match="SubFormat"):
+        codec.decode(bytes(raw), "wav")
+    # extensible fmt chunk too short for a GUID -> ValueError
+    short = bytearray(codec.encode_wav_variant(pcm, 8000, bits=16))
+    struct.pack_into("<H", short, short.index(b"fmt ") + 8, 0xFFFE)
+    with pytest.raises(ValueError, match="extensible"):
+        codec.decode(bytes(short), "wav")
+    # unsupported (tag, bits) combination -> UnsupportedCodec
+    odd = bytearray(codec.encode_wav_variant(pcm, 8000, bits=16))
+    struct.pack_into("<H", odd, odd.index(b"fmt ") + 8 + 14, 12)
+    with pytest.raises(codec.UnsupportedCodec, match="tag 1 / 12-bit"):
+        codec.decode(bytes(odd), "wav")
+    # encoder rejects variants the decoder can't read back
+    with pytest.raises(ValueError, match="variant"):
+        codec.encode_wav_variant(pcm, 8000, bits=12)
+    # 24-bit data with a ragged tail truncates to whole samples
+    raw24 = codec.encode_wav_variant(pcm, 8000, bits=24)
+    cut = bytearray(raw24[:-2])  # drop 2 of the last sample's 3 bytes
+    data_at = cut.index(b"data") + 4
+    (dlen,) = struct.unpack_from("<I", cut, data_at)
+    struct.pack_into("<I", cut, data_at, dlen - 2)
+    struct.pack_into("<I", cut, 4, len(cut) - 8)
+    out = codec.decode(bytes(cut), "wav")
+    assert len(out) == len(pcm) - 1

@@ -127,6 +127,17 @@ def test_gif_roundtrip_exact_property(img, interlace):
 
 
 @settings(max_examples=25, deadline=None)
+@given(paletted_images(), st.booleans(), st.integers(0, 4))
+def test_png_palette_roundtrip_property(img, interlace, f):
+    """Indexed-color PNG is lossless for <=256-color input, under any
+    scanline filter, sequential and Adam7 alike."""
+    raw = codec.encode_image(
+        img, "png", png_filter=f, png_interlace=interlace, png_palette=True
+    )
+    assert np.array_equal(codec.decode_image(raw, "png"), img)
+
+
+@settings(max_examples=25, deadline=None)
 @given(st.integers(500, 4000), st.floats(0.01, 0.2),
        st.floats(0.2, 0.9), st.integers(0, 2**31 - 1))
 def test_adpcm_roundtrip_snr_envelope(n, rate, amp, seed):
@@ -273,3 +284,37 @@ def test_mp1_decoder_contract_past_sync(raw):
         assert out.dtype == np.float32
     except (ValueError, codec.UnsupportedCodec):
         pass
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(300, 3000), st.floats(0.01, 0.2),
+       st.floats(0.2, 0.9), st.integers(0, 2**31 - 1),
+       st.sampled_from([("pcm", 8), ("pcm", 24), ("pcm", 32),
+                        ("float", 32), ("float", 64),
+                        ("alaw", 8), ("ulaw", 8)]),
+       st.booleans(), st.integers(1, 2))
+def test_wav_variant_roundtrip_snr_property(
+    n, rate, amp, seed, variant, extensible, nch
+):
+    """Every WAV breadth format (integer 8/24/32, IEEE float, G.711
+    payload tags, plain or extensible, mono or stereo) round-trips
+    above its quantization floor and never crashes — 8-bit's floor is
+    the lowest (~40 dB incl. the 127/128 encode gain), G.711's is the
+    30 dB input_hint contract."""
+    sample_format, bits = variant
+    rng = np.random.default_rng(seed)
+    x = np.clip(
+        amp * np.sin(rate * np.arange(n)) + 0.01 * rng.standard_normal(n),
+        -1, 1,
+    ).astype(np.float32)
+    pcm = np.stack([x] * nch, axis=1) if nch > 1 else x
+    raw = codec.encode_wav_variant(
+        pcm, 8000, bits=bits, sample_format=sample_format,
+        extensible=extensible,
+    )
+    out = codec.decode(raw, "wav")
+    assert len(out) == n
+    floor = {"pcm": 32.0, "float": 80.0, "alaw": 28.0, "ulaw": 28.0}[
+        sample_format
+    ]
+    assert codec.snr_db(x, out) >= floor

@@ -187,17 +187,55 @@ def _decode_wav_scalar(raw: bytes) -> list[float]:
         raise ValueError("oracle: missing fmt/data")
     tag, nch = struct.unpack_from("<HH", fmt, 0)
     bits = struct.unpack_from("<H", fmt, 14)[0]
+    if tag == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: effective tag = first 2 bytes of the
+        # SubFormat GUID at fmt[24:40]
+        if len(fmt) < 40:
+            raise ValueError("oracle: short extensible fmt")
+        tag = struct.unpack_from("<H", fmt, 24)[0]
     if tag == 0x11 and bits == 4 and nch == 1:
         block_align = struct.unpack_from("<H", fmt, 12)[0]
         return _decode_ima_scalar(data, block_align, fact)
-    if tag != 1 or bits != 16:
-        raise ValueError("oracle handles 16-bit PCM / mono IMA ADPCM wav only")
-    samples = [s[0] for s in struct.iter_unpack("<h", data[: len(data) - len(data) % 2])]
+    if tag == 1 and bits == 16:
+        samples = [
+            s[0] / 32768.0
+            for s in struct.iter_unpack("<h", data[: len(data) - len(data) % 2])
+        ]
+        # integer mean first (legacy engine path is (sum s)/nch/32768,
+        # identical in float64 since / is exact scaling here)
+    elif tag == 1 and bits == 8:
+        samples = [(b - 128) / 128.0 for b in data]
+    elif tag == 1 and bits == 24:
+        samples = []
+        for i in range(0, len(data) - len(data) % 3, 3):
+            v = data[i] | (data[i + 1] << 8) | (data[i + 2] << 16)
+            if v >= 1 << 23:
+                v -= 1 << 24
+            samples.append(v / float(1 << 23))
+    elif tag == 1 and bits == 32:
+        samples = [
+            s[0] / float(1 << 31)
+            for s in struct.iter_unpack("<i", data[: len(data) - len(data) % 4])
+        ]
+    elif tag == 3 and bits == 32:
+        samples = [
+            s[0] for s in struct.iter_unpack("<f", data[: len(data) - len(data) % 4])
+        ]
+    elif tag == 3 and bits == 64:
+        samples = [
+            s[0] for s in struct.iter_unpack("<d", data[: len(data) - len(data) % 8])
+        ]
+    elif tag == 6 and bits == 8:
+        samples = [_ALAW_TABLE[b] / 32768.0 for b in data]
+    elif tag == 7 and bits == 8:
+        samples = [_ULAW_TABLE[b] / 32768.0 for b in data]
+    else:
+        raise ValueError(f"oracle: unsupported wav tag {tag}/{bits}-bit")
     n_frames = len(samples) // nch
     out = []
     for i in range(n_frames):
         frame = samples[i * nch: (i + 1) * nch]
-        out.append((sum(frame) / nch) / 32768.0)
+        out.append(sum(frame) / nch)
     return out
 
 
@@ -589,7 +627,7 @@ def decode_png_pixels(raw: bytes) -> list[float]:
     cumsum/strided reconstruction. Returns RGB values row-major."""
     if raw[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not PNG")
-    pos, idat, hdr = 8, b"", None
+    pos, idat, hdr, plte = 8, b"", None, None
     while pos + 12 <= len(raw):
         ln = int.from_bytes(raw[pos: pos + 4], "big")
         ctype = raw[pos + 4: pos + 8]
@@ -602,6 +640,8 @@ def decode_png_pixels(raw: bytes) -> list[float]:
             hdr = body
         elif ctype == b"IDAT":
             idat += body
+        elif ctype == b"PLTE":
+            plte = body
         elif ctype == b"IEND":
             break
         pos += 12 + ln
@@ -610,12 +650,13 @@ def decode_png_pixels(raw: bytes) -> list[float]:
     w = int.from_bytes(hdr[0:4], "big")
     h = int.from_bytes(hdr[4:8], "big")
     depth, color, interlace = hdr[8], hdr[9], hdr[12]
-    if depth != 8 or color != 2 or interlace not in (0, 1):
-        raise ValueError("oracle handles 8-bit RGB only")
+    if depth != 8 or color not in (2, 3) or interlace not in (0, 1):
+        raise ValueError("oracle handles 8-bit RGB/palette only")
+    bpp = 3 if color == 2 else 1
     dec = zlib.decompress(idat)
 
     def unfilter(base: int, ph: int, pw: int) -> list[list[int]]:
-        stride = 3 * pw
+        stride = bpp * pw
         rows: list[list[int]] = []
         prev = [0] * stride
         for y in range(ph):
@@ -624,9 +665,9 @@ def decode_png_pixels(raw: bytes) -> list[float]:
             cur = [0] * stride
             for i in range(stride):
                 x = dec[off + 1 + i]
-                a = cur[i - 3] if i >= 3 else 0
+                a = cur[i - bpp] if i >= bpp else 0
                 b = prev[i]
-                c = prev[i - 3] if i >= 3 else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 if ftype == 0:
                     r = x
                 elif ftype == 1:
@@ -644,6 +685,18 @@ def decode_png_pixels(raw: bytes) -> list[float]:
             prev = cur
         return rows
 
+    def expand(row: list[int]) -> list[int]:
+        if color == 2:
+            return row
+        if plte is None:
+            raise ValueError("png palette image missing PLTE")
+        out = []
+        for idx in row:
+            if 3 * idx + 3 > len(plte):
+                raise ValueError("png palette index out of range")
+            out.extend(plte[3 * idx:3 * idx + 3])
+        return out
+
     if interlace:
         # Adam7: scalar pass walk mirroring the spec grids, nothing
         # shared with the engine's strided-scatter reconstruction
@@ -657,21 +710,24 @@ def decode_png_pixels(raw: bytes) -> list[float]:
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            if len(dec) - base < ph * (3 * pw + 1):
+            if len(dec) - base < ph * (bpp * pw + 1):
                 raise ValueError("png data length mismatch")
             for j, row in enumerate(unfilter(base, ph, pw)):
                 y = y0 + j * dy
+                rgb = expand(row)
                 for i in range(pw):
                     x = x0 + i * dx
-                    grid[y][3 * x:3 * x + 3] = row[3 * i:3 * i + 3]
-            base += ph * (3 * pw + 1)
+                    grid[y][3 * x:3 * x + 3] = rgb[3 * i:3 * i + 3]
+            base += ph * (bpp * pw + 1)
         if base != len(dec):
             raise ValueError("png data length mismatch")
         return [float(v) for row in grid for v in row]
-    stride = 3 * w
+    stride = bpp * w
     if len(dec) != h * (stride + 1):
         raise ValueError("png data length mismatch")
-    return [float(v) for row in unfilter(0, h, w) for v in row]
+    return [
+        float(v) for row in unfilter(0, h, w) for v in expand(row)
+    ]
 
 
 _JPEG_COS = [

@@ -117,6 +117,24 @@ def frame_feature_inputs(track_ids: list[str]) -> list[tuple[str, bytes, str]]:
          synth.clip_row(f"{cname}_00", track_ids, codec_name=cname)[1], cname)
         for cname in ("alaw", "wav", "adpcm")
     ]
+    # WAV format-breadth rows: 24-bit WAVE_FORMAT_EXTENSIBLE stereo
+    # (decorrelated channels -> the channel mean is load-bearing) and
+    # IEEE float32 — engine vectorized byte assembly vs the oracle's
+    # per-sample struct walk
+    import numpy as np  # input construction only
+
+    _seg = synth.track_pcm(track_ids[0])[:12000]
+    items += [
+        ("wav24_00",
+         codec.encode_wav_variant(
+             np.stack([_seg, -0.5 * _seg], axis=1), synth.SR_HZ,
+             bits=24, extensible=True,
+         ), "wav"),
+        ("wavf32_00",
+         codec.encode_wav_variant(
+             _seg, synth.SR_HZ, bits=32, sample_format="float",
+         ), "wav"),
+    ]
     # frame-codec rows: reuse the mixed-rate probes' bytes so
     # construction stays shared with the audio_match foreign-rate
     # rows — mp1 (lossy; oracle = scalar frame walk + triple-loop
@@ -178,11 +196,18 @@ def frame_feature_inputs(track_ids: list[str]) -> list[tuple[str, bytes, str]]:
         for i in range(N_FRAME_PNGS)
     ]
     # Adam7 interlaced PNG: the engine's strided-scatter pass walk vs
-    # the oracle's scalar per-pass grid placement
+    # the oracle's scalar per-pass grid placement; and indexed-color
+    # (PLTE) with the engine's np.unique palette vs the oracle's
+    # scalar per-index expansion
     items += [
         ("png_il",
          synth.image_bytes("png_il", "png", png_filter=4,
                            png_interlace=True), "png"),
+        ("png_pal",
+         codec.encode_image(
+             synth.paletted_pixels("png_pal"), "png", png_filter=1,
+             png_palette=True,
+         ), "png"),
     ]
     # real GIF rows (LZW indexed color): one sequential, one 4-pass
     # interlaced — the oracle decodes both with its own chain-table LZW
