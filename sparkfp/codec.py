@@ -5,8 +5,8 @@ The clip table carries opaque ``bytes`` + a ``codec`` tag
 ``pcm_s16le``, ``ulaw`` / ``alaw`` (G.711), ``wav`` (RIFF: integer
 PCM 8/16/24/32-bit, IEEE float32/64, G.711 payload tags 6/7, and
 WAVE_FORMAT_EXTENSIBLE routing), ``adpcm`` (IMA ADPCM in RIFF),
-``mp1`` (MPEG-1 Audio
-Layer I, sparkfp/mpeg_audio.py), and ``flac`` (lossless,
+``mp1`` / ``mp2`` (MPEG-1 Audio
+Layers I and II, sparkfp/mpeg_audio.py), and ``flac`` (lossless,
 sparkfp/flac.py). What's left (mp3 Layer III / ogg / aac would need
 external decoder libs not present in this container) is stubbed
 behind :class:`UnsupportedCodec` with the Spark-side plumbing kept
@@ -51,6 +51,10 @@ def encode(pcm: np.ndarray, codec: str, sr_hz: int = 8000) -> bytes:
         from . import mpeg_audio  # deferred: mpeg_audio imports back
 
         return mpeg_audio.encode_mp1(pcm, sr_hz)
+    if codec == "mp2":
+        from . import mpeg_audio  # deferred: mpeg_audio imports back
+
+        return mpeg_audio.encode_mp2(pcm, sr_hz)
     if codec == "flac":
         from . import flac  # deferred: flac imports back
 
@@ -76,6 +80,10 @@ def decode(raw: bytes, codec: str) -> np.ndarray:
         from . import mpeg_audio  # deferred: mpeg_audio imports back
 
         return mpeg_audio.decode_mp1(raw)[0]
+    if codec == "mp2":
+        from . import mpeg_audio  # deferred: mpeg_audio imports back
+
+        return mpeg_audio.decode_mp2(raw)[0]
     if codec == "flac":
         from . import flac  # deferred: flac imports back
 

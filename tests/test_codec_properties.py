@@ -176,7 +176,8 @@ def test_image_decoders_never_crash_with_foreign_errors(raw, image_codec):
 @settings(max_examples=60, deadline=None)
 @given(st.binary(min_size=0, max_size=300),
        st.sampled_from(
-           ["pcm_s16le", "ulaw", "alaw", "wav", "adpcm", "mp1", "flac"]
+           ["pcm_s16le", "ulaw", "alaw", "wav", "adpcm", "mp1", "mp2",
+            "flac"]
        ))
 def test_audio_decoders_never_crash_with_foreign_errors(raw, name):
     try:
@@ -318,3 +319,41 @@ def test_wav_variant_roundtrip_snr_property(
         sample_format
     ]
     assert codec.snr_db(x, out) >= floor
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(600, 4000), st.floats(0.01, 0.2),
+       st.floats(0.2, 0.9), st.integers(0, 2**31 - 1),
+       st.sampled_from([96, 192, 320]))
+def test_mp2_roundtrip_snr_envelope(n, rate, amp, seed, kbps):
+    """MPEG-1 Layer II quality envelope: grouped quantizers + shared
+    scalefactors keep band-limited content above the 30 dB input_hint
+    contract from 96 kbps mono upward (3 bits/sample at 32 kHz)."""
+    from sparkfp import mpeg_audio as m
+
+    rng = np.random.default_rng(seed)
+    pcm = np.clip(
+        amp * np.sin(rate * np.arange(n)) + 0.01 * rng.standard_normal(n),
+        -1, 1,
+    ).astype(np.float32)
+    out, _ = m.decode_mp2(m.encode_mp2(pcm, 32000, kbps))
+    assert len(out) >= n
+    assert codec.snr_db(pcm, out[:n]) >= 30.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_mp2_decoder_contract_past_sync(raw):
+    """Fuzz the Layer II frame internals behind a valid mono header
+    (192 kbps, 32 kHz -> 864-byte frames): allocation / scfsi /
+    scalefactor / grouped-sample reads must honor the ValueError /
+    UnsupportedCodec contract — never IndexError/struct.error."""
+    hdr = (0x7FF << 21 | 0x3 << 19 | 0x2 << 17 | 1 << 16 | 10 << 12
+           | 2 << 10 | 0x3 << 6 | 1 << 2).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="truncated"):
+        codec.decode(hdr, "mp2")
+    try:
+        out = codec.decode(hdr + raw, "mp2")
+        assert out.dtype == np.float32
+    except (ValueError, codec.UnsupportedCodec):
+        pass

@@ -251,6 +251,8 @@ def decode(raw: bytes, codec_name: str) -> list[float]:
         return _decode_wav_scalar(raw)
     if codec_name == "mp1":
         return _decode_mp1_scalar(raw)
+    if codec_name == "mp2":
+        return _decode_mp2_scalar(raw)
     if codec_name == "flac":
         return _decode_flac_scalar(raw)
     raise ValueError(f"oracle cannot decode codec {codec_name!r}")
@@ -1200,7 +1202,7 @@ def frame_features(
     per-block IDCT), a genuine second implementation against the
     engine's vectorized einsum path."""
     if codec_name in (
-        "pcm_s16le", "ulaw", "alaw", "wav", "adpcm", "mp1", "flac",
+        "pcm_s16le", "ulaw", "alaw", "wav", "adpcm", "mp1", "mp2", "flac",
     ):
         vals = decode(raw, codec_name)
     elif codec_name == "bmp":
@@ -1515,3 +1517,118 @@ def _decode_flac_scalar(raw: bytes) -> list[float]:
         out += x
         fpos += body_len + 2
     return [v / float(1 << (bps - 1)) for v in out[:total]]
+
+
+# ------------------------------------------------------------- mp2
+#
+# Scalar MPEG-1 Layer II decoder: per-bit reads, per-sample loops, the
+# published B.2a/b quantizer menus restated as spec constants, and the
+# closed-form requantization lattice s'' = (2c - L + 1)/L (the Table
+# B.4 C/D composition — see sparkfp/mpeg_audio.py Layer II section).
+# Nothing shared with the engine's vectorized offset-gather decode.
+
+_MP2_BITRATES = (0, 32, 48, 56, 64, 80, 96, 112, 128, 160,
+                 192, 224, 256, 320, 384)
+_MP2_MENU_LOW = (3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+                 8191, 16383, 32767, 65535)
+_MP2_MENU_MID = (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047,
+                 4095, 65535)
+_MP2_MENU_HIGH = (3, 5, 7, 9, 15, 31, 65535)
+_MP2_MENU_TOP = (3, 5, 65535)
+
+
+def _mp2_table(sr: int, kbps: int) -> list[tuple]:
+    if kbps <= 48:
+        raise ValueError("oracle mp2: low-bitrate table class")
+    sblimit = 27 if (sr == 48000 or kbps <= 80) else 30
+    rows = ([(4, _MP2_MENU_LOW)] * 3 + [(4, _MP2_MENU_MID)] * 8
+            + [(3, _MP2_MENU_HIGH)] * 12)
+    rows += [(2, _MP2_MENU_TOP)] * (sblimit - 23)
+    return rows[:sblimit]
+
+
+def _decode_mp2_scalar(raw: bytes) -> list[float]:
+    if len(raw) < 4:
+        raise ValueError("oracle mp2: short stream")
+    subbands: list[list[float]] = []  # per time sample, 32 floats
+    pos = 0
+    while pos < len(raw):
+        bits = _Mp1Bits(raw[pos:])
+        if bits.read(11) != 0x7FF:
+            raise ValueError("oracle mp2: lost sync")
+        if bits.read(2) != 3:
+            raise ValueError("oracle mp2: not MPEG-1")
+        if bits.read(2) != 2:
+            raise ValueError("oracle mp2: not Layer II")
+        crc_present = bits.read(1) == 0
+        kbps = _MP2_BITRATES[bits.read(4)]
+        sr = _MP1_RATES[bits.read(2)]
+        padding = bits.read(1)
+        bits.read(1)
+        if bits.read(2) != 3:
+            raise ValueError("oracle mp2: not mono")
+        bits.read(6)  # mode_ext, copyright, original, emphasis
+        frame_bytes = 144 * kbps * 1000 // sr + padding
+        if pos + frame_bytes > len(raw):
+            raise ValueError("oracle mp2: truncated frame")
+        if crc_present:
+            bits.read(16)
+        table = _mp2_table(sr, kbps)
+        sblimit = len(table)
+        step = []
+        for sb in range(sblimit):
+            step.append(bits.read(table[sb][0]))
+        scfsi = {}
+        for sb in range(sblimit):
+            if step[sb]:
+                scfsi[sb] = bits.read(2)
+        sf = {}  # sb -> [sf_part0, sf_part1, sf_part2]
+        for sb in range(sblimit):
+            if not step[sb]:
+                continue
+            pat = scfsi[sb]
+            n_sent = 3 if pat == 0 else (1 if pat == 2 else 2)
+            sent = [bits.read(6) for _ in range(n_sent)]
+            if pat == 0:
+                idxs = sent
+            elif pat == 2:
+                idxs = [sent[0]] * 3
+            elif pat == 1:
+                idxs = [sent[0], sent[0], sent[1]]
+            else:
+                idxs = [sent[0], sent[1], sent[1]]
+            sf[sb] = [2.0 * 2.0 ** (-i / 3.0) for i in idxs]
+        frame = [[0.0] * 32 for _ in range(36)]
+        for g in range(12):  # triplet-granules
+            for sb in range(sblimit):
+                if not step[sb]:
+                    continue
+                lv = table[sb][1][step[sb] - 1]
+                if lv in (3, 5, 9):
+                    w = {3: 5, 5: 7, 9: 10}[lv]
+                    c = bits.read(w)
+                    trip = [c % lv, (c // lv) % lv, c // (lv * lv)]
+                else:
+                    w1 = (lv + 1).bit_length() - 1
+                    trip = [bits.read(w1) for _ in range(3)]
+                for j, code in enumerate(trip):
+                    t = 3 * g + j
+                    s2 = (2.0 * code - lv + 1.0) / lv
+                    frame[t][sb] = s2 * sf[sb][t // 12]
+        subbands.extend(frame)
+        pos += frame_bytes
+    syn, _ = _mp1_tables()
+    n_t = len(subbands)
+    out = [0.0] * (32 * n_t)
+    for t in range(n_t):
+        row = subbands[t]
+        base = 32 * t
+        span = min(512, len(out) - base)
+        for k in range(32):
+            s = row[k]
+            if s == 0.0:
+                continue
+            taps = syn[k]
+            for n in range(span):
+                out[base + n] += s * taps[n]
+    return out[_MP1_DELAY:]

@@ -145,6 +145,16 @@ def frame_feature_inputs(track_ids: list[str]) -> list[tuple[str, bytes, str]]:
         for row in synth.mixed_rate_clip_rows(track_ids)
         if row[4] in ("mp1", "flac")
     ]
+    # MPEG-1 Layer II row (grouped quantizers + SCFSI + the B.2b
+    # allocation table): engine offset-gather decode vs the oracle's
+    # scalar per-bit frame walk
+    items += [
+        ("mp2_00",
+         codec.encode(
+             synth.track_pcm(track_ids[2], sr_hz=32000)[:32000],
+             "mp2", sr_hz=32000,
+         ), "mp2"),
+    ]
     # h264 = the remaining deterministic-fake boundary (needs ffmpeg)
     items += [
         (f"img_{i:02d}", hashlib.md5(b"img%d" % i).digest() * 64, "h264")
