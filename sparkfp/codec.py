@@ -624,10 +624,9 @@ def _decode_ppm(raw: bytes) -> np.ndarray:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# color type -> samples per pixel (8-bit depth only; 16-bit would
-# need more machinery than the fixtures justify). 3 = palette: one
-# index byte per pixel, mapped through the PLTE chunk after unfilter.
-_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
+# color type -> samples per pixel. 3 = palette: one index byte per
+# pixel, mapped through the PLTE chunk after unfilter; 4 = gray+alpha.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _decode_png(raw: bytes) -> np.ndarray:
@@ -666,8 +665,10 @@ def _decode_png(raw: bytes) -> np.ndarray:
     if ihdr is None or len(ihdr) != 13 or not idat or not saw_iend:
         raise ValueError("missing PNG IHDR/IDAT/IEND")
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8:
-        raise UnsupportedCodec(f"png bit depth {depth}")
+    if depth not in (8, 16) or (depth, color) == (16, 3):
+        # 1/2/4-bit packed depths stay gated; 16-bit palette is
+        # invalid per the spec
+        raise UnsupportedCodec(f"png bit depth {depth} / color {color}")
     if color not in _PNG_CHANNELS:
         raise UnsupportedCodec(f"png color type {color}")
     if interlace not in (0, 1):
@@ -681,36 +682,41 @@ def _decode_png(raw: bytes) -> np.ndarray:
     except zlib.error as e:
         raise ValueError(f"bad PNG deflate stream: {e}") from e
     nch = _PNG_CHANNELS[color]
+    bypp = nch * (depth // 8)  # filter distance is BYTES per pixel
     if interlace:
         # Adam7: seven independently-filtered reduced images,
         # scattered back onto the (x0 + i*dx, y0 + j*dy) grids
-        img3 = np.zeros((h, w, nch), dtype=np.uint8)
+        img3 = np.zeros((h, w, bypp), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            pstride = pw * nch
+            pstride = pw * bypp
             need = ph * (1 + pstride)
             if len(dec) - off < need:
                 raise ValueError("PNG pixel data length mismatch")
             lines = np.frombuffer(
                 dec, dtype=np.uint8, count=need, offset=off
             ).reshape(ph, 1 + pstride)
-            img3[y0::dy, x0::dx] = _png_unfilter(lines, nch).reshape(
-                ph, pw, nch
+            img3[y0::dy, x0::dx] = _png_unfilter(lines, bypp).reshape(
+                ph, pw, bypp
             )
             off += need
         if off != len(dec):
             raise ValueError("PNG pixel data length mismatch")
         img = img3
     else:
-        stride = w * nch
+        stride = w * bypp
         if len(dec) != h * (1 + stride):
             raise ValueError("PNG pixel data length mismatch")
         lines = np.frombuffer(dec, dtype=np.uint8).reshape(h, 1 + stride)
-        img = _png_unfilter(lines, nch).reshape(h, w, nch)
+        img = _png_unfilter(lines, bypp).reshape(h, w, bypp)
+    if depth == 16:
+        # samples are big-endian uint16: keep the high byte (the
+        # standard 16 -> 8 downscale, v >> 8)
+        img = np.ascontiguousarray(img.reshape(h, w, nch, 2)[:, :, :, 0])
     if color == 3:
         if plte is None or len(plte) == 0 or len(plte) % 3:
             raise ValueError("missing or malformed PLTE chunk")
@@ -721,6 +727,9 @@ def _decode_png(raw: bytes) -> np.ndarray:
         img = palette[idx]
     elif nch == 1:
         img = np.repeat(img.reshape(h, w, 1), 3, axis=2)
+    elif color == 4:
+        # gray+alpha: replicate gray, drop alpha
+        img = np.repeat(img[:, :, :1], 3, axis=2)
     elif nch == 4:
         img = img[:, :, :3]  # alpha dropped, matching the BMP 32bpp path
     return np.ascontiguousarray(img)

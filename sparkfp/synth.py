@@ -311,6 +311,54 @@ def image_bytes(
     )
 
 
+def png_foreign_bytes(
+    image_id: str, kind: str, h: int = 16, w: int = 11, seed: int = 42
+) -> bytes:
+    """Deterministic PNG shapes our encoder does not emit but a web
+    corpus does: 16-bit grayscale (``gray16``, color type 0) and 8-bit
+    gray+alpha (``ga``, color type 4). Built chunk-by-chunk with
+    filter 1 (Sub) on every row, so the decoder's byte-distance
+    unfilter (bytes-per-pixel 2 in both cases) is exercised, not just
+    the trivial filter-0 path. Input construction shared by the entry
+    query and the fixture generator; the oracle decodes with its own
+    scalar walk."""
+    import struct
+    import zlib
+
+    rng = _id_rng(seed, image_id)
+    if kind == "gray16":
+        img = rng.integers(0, 65536, size=(h, w), dtype=np.uint16)
+        rows = np.frombuffer(
+            img.astype(">u2").tobytes(), np.uint8
+        ).reshape(h, 2 * w)
+        depth, color = 16, 0
+    elif kind == "ga":
+        img = rng.integers(0, 256, size=(h, 2 * w), dtype=np.uint8)
+        rows, depth, color = img, 8, 4
+    else:
+        raise ValueError(f"unknown foreign png kind {kind!r}")
+    bypp = 2
+    scan = bytearray()
+    for r in rows:
+        prev = np.concatenate([np.zeros(bypp, np.uint8), r[:-bypp]])
+        scan += b"\x01" + (
+            (r.astype(np.int16) - prev) % 256
+        ).astype(np.uint8).tobytes()
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def mixed_rate_clip_rows(
     track_ids: list[str],
     specs: tuple = (

@@ -202,7 +202,7 @@ def test_png_error_paths():
         codec.decode_image(bytes(bad), "png")
     with pytest.raises(ValueError):
         codec.decode_image(b"\x89PNG\r\n\x1a\n\x00\x00", "png")
-    with pytest.raises(codec.UnsupportedCodec):  # 16-bit depth gated
+    with pytest.raises(codec.UnsupportedCodec):  # packed depths gated
         import struct
         import zlib as z
 
@@ -214,8 +214,8 @@ def test_png_error_paths():
 
         codec.decode_image(
             b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
-            + chunk(b"IDAT", z.compress(b"\x00" * 26)) + chunk(b"IEND", b""),
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 3, 0, 0, 0))
+            + chunk(b"IDAT", z.compress(b"\x00" * 4)) + chunk(b"IEND", b""),
             "png",
         )
     with pytest.raises(ValueError):
@@ -1118,3 +1118,59 @@ def test_mp2_silence_and_empty_frames():
 
     y, _ = m.decode_mp2(m.encode_mp2(np.zeros(500), 32000, 56))
     assert len(y) >= 500 and np.abs(y).max() == 0.0
+
+
+def test_png_gray16_and_gray_alpha_decode_with_oracle_parity():
+    """Foreign-writer PNG shapes: 16-bit grayscale decodes via the
+    high-byte downscale, 8-bit gray+alpha replicates gray and drops
+    alpha — both Sub-filtered at byte distance 2, engine vs the
+    oracle's scalar walk, plus a direct expectation from the known
+    deterministic pixels."""
+    import tools.dsp_oracle as orc
+    from sparkfp import synth
+    from sparkfp.synth import _id_rng
+
+    raw16 = synth.png_foreign_bytes("t16", "gray16", h=9, w=7)
+    out16 = codec.decode_image(raw16, "png")
+    img16 = _id_rng(42, "t16").integers(0, 65536, size=(9, 7), dtype=np.uint16)
+    expect16 = np.repeat((img16 >> 8).astype(np.uint8)[:, :, None], 3, axis=2)
+    assert np.array_equal(out16, expect16)
+    ora16 = np.array(orc.decode_png_pixels(raw16)).reshape(9, 7, 3)
+    assert np.array_equal(ora16.astype(np.uint8), out16)
+
+    rawga = synth.png_foreign_bytes("tga", "ga", h=8, w=5)
+    outga = codec.decode_image(rawga, "png")
+    imgga = _id_rng(42, "tga").integers(0, 256, size=(8, 10), dtype=np.uint8)
+    gray = imgga.reshape(8, 5, 2)[:, :, 0]
+    assert np.array_equal(outga, np.repeat(gray[:, :, None], 3, axis=2))
+    oraga = np.array(orc.decode_png_pixels(rawga)).reshape(8, 5, 3)
+    assert np.array_equal(oraga.astype(np.uint8), outga)
+
+    # 16-bit RGBA also routes through the generalized path: craft one
+    import struct
+    import zlib
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    px = np.arange(2 * 2 * 4, dtype=np.uint16).reshape(2, 2, 4) * 997
+    scan = b"".join(b"\x00" + row.astype(">u2").tobytes() for row in px)
+    raw = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+    )
+    out = codec.decode_image(raw, "png")
+    assert np.array_equal(out, (px[:, :, :3] >> 8).astype(np.uint8))
+    # 16-bit palette is invalid per spec -> UnsupportedCodec
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes(3))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00")) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(codec.UnsupportedCodec):
+        codec.decode_image(bad, "png")

@@ -652,9 +652,11 @@ def decode_png_pixels(raw: bytes) -> list[float]:
     w = int.from_bytes(hdr[0:4], "big")
     h = int.from_bytes(hdr[4:8], "big")
     depth, color, interlace = hdr[8], hdr[9], hdr[12]
-    if depth != 8 or color not in (2, 3) or interlace not in (0, 1):
-        raise ValueError("oracle handles 8-bit RGB/palette only")
-    bpp = 3 if color == 2 else 1
+    if (depth not in (8, 16) or color not in (0, 2, 3, 4, 6)
+            or (depth, color) == (16, 3) or interlace not in (0, 1)):
+        raise ValueError("oracle: unsupported png depth/color")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    bpp = channels * (depth // 8)
     dec = zlib.decompress(idat)
 
     def unfilter(base: int, ph: int, pw: int) -> list[list[int]]:
@@ -688,15 +690,27 @@ def decode_png_pixels(raw: bytes) -> list[float]:
         return rows
 
     def expand(row: list[int]) -> list[int]:
+        """One unfiltered byte row -> RGB byte triples (scalar)."""
+        if depth == 16:
+            row = row[0::2]  # big-endian high byte = 16 -> 8 downscale
         if color == 2:
             return row
-        if plte is None:
-            raise ValueError("png palette image missing PLTE")
-        out = []
-        for idx in row:
-            if 3 * idx + 3 > len(plte):
-                raise ValueError("png palette index out of range")
-            out.extend(plte[3 * idx:3 * idx + 3])
+        if color == 3:
+            if plte is None:
+                raise ValueError("png palette image missing PLTE")
+            out = []
+            for idx in row:
+                if 3 * idx + 3 > len(plte):
+                    raise ValueError("png palette index out of range")
+                out.extend(plte[3 * idx:3 * idx + 3])
+            return out
+        if color == 0:
+            return [v for v in row for _ in range(3)]
+        if color == 4:  # gray+alpha: replicate gray, drop alpha
+            return [v for v in row[0::2] for _ in range(3)]
+        out = []  # color 6: RGBA -> drop alpha
+        for i in range(0, len(row), 4):
+            out.extend(row[i:i + 3])
         return out
 
     if interlace:

@@ -218,6 +218,11 @@ def frame_feature_inputs(track_ids: list[str]) -> list[tuple[str, bytes, str]]:
              synth.paletted_pixels("png_pal"), "png", png_filter=1,
              png_palette=True,
          ), "png"),
+        # foreign-writer shapes our encoder does not emit: 16-bit
+        # grayscale (high-byte downscale) and 8-bit gray+alpha, both
+        # Sub-filtered at byte distance 2
+        ("png_g16", synth.png_foreign_bytes("png_g16", "gray16"), "png"),
+        ("png_ga", synth.png_foreign_bytes("png_ga", "ga"), "png"),
     ]
     # real GIF rows (LZW indexed color): one sequential, one 4-pass
     # interlaced — the oracle decodes both with its own chain-table LZW
