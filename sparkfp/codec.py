@@ -47,6 +47,10 @@ def encode(pcm: np.ndarray, codec: str, sr_hz: int = 8000) -> bytes:
         return _encode_wav(_f32_to_s16(pcm), sr_hz)
     if codec == "adpcm":
         return _encode_adpcm_wav(_f32_to_s16(pcm), sr_hz)
+    if codec == "aiff":
+        return encode_aiff(pcm, sr_hz)
+    if codec == "au":
+        return encode_au(pcm, sr_hz)
     if codec == "mp1":
         from . import mpeg_audio  # deferred: mpeg_audio imports back
 
@@ -76,6 +80,10 @@ def decode(raw: bytes, codec: str) -> np.ndarray:
         # both live in a RIFF/WAVE container; the chunk walk routes on
         # the fmt tag (1 = linear PCM, 0x11 = IMA ADPCM)
         return _decode_wav(raw)
+    if codec == "aiff":
+        return _decode_aiff(raw)
+    if codec == "au":
+        return _decode_au(raw)
     if codec == "mp1":
         from . import mpeg_audio  # deferred: mpeg_audio imports back
 
@@ -869,6 +877,177 @@ def _encode_png(
         + chunk(b"IDAT", zlib.compress(scan))
         + chunk(b"IEND", b"")
     )
+
+
+# ------------------------- AIFF (big-endian IFF) and Sun AU (.snd)
+#
+# The two classic big-endian audio containers a mixed web corpus still
+# carries: AIFF (Mac/pro-audio; IFF FORM chunks, sample rate as an
+# 80-bit IEEE 754 extended float) and AU (Sun/NeXT; fixed 24-byte
+# header, encoding ids). Same decode contract as WAV: float32 mono in
+# [-1,1], channel mean, ValueError for malformed bytes and
+# UnsupportedCodec for valid-but-unimplemented encodings.
+
+
+def _f80_from_rate(sr: int) -> bytes:
+    """Integer sample rate -> 80-bit IEEE 754 extended (AIFF COMM)."""
+    import struct
+
+    if sr <= 0:
+        raise ValueError(f"bad sample rate {sr}")
+    exp = sr.bit_length() - 1
+    mant = sr << (63 - exp)  # explicit integer bit at mantissa MSB
+    return struct.pack(">HQ", 16383 + exp, mant)
+
+
+def _rate_from_f80(b: bytes) -> int:
+    """80-bit IEEE 754 extended -> integer sample rate (rounded)."""
+    import struct
+
+    se, mant = struct.unpack(">HQ", b)
+    exp = (se & 0x7FFF) - 16383 - 63
+    if se & 0x8000 or mant == 0:
+        raise ValueError("bad AIFF sample rate")
+    rate = mant * 2.0 ** exp
+    if not (0 < rate < 2 ** 31):
+        raise ValueError("bad AIFF sample rate")
+    return int(round(rate))
+
+
+def encode_aiff(pcm: np.ndarray, sr_hz: int = 8000) -> bytes:
+    """float PCM (``(n,)`` mono or ``(n, nch)``) -> AIFF 16-bit
+    big-endian PCM."""
+    import struct
+
+    x = np.asarray(pcm, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, nch = x.shape
+    data = _f32_to_s16(x.ravel()).astype(">i2").tobytes()
+    comm = struct.pack(">hIh", nch, n, 16) + _f80_from_rate(sr_hz)
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+        + (b"\x00" if len(ssnd) & 1 else b"")
+    )
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def _decode_aiff(raw: bytes) -> np.ndarray:
+    """AIFF chunk walk -> float32 mono PCM (channel mean)."""
+    import struct
+
+    if len(raw) < 12 or raw[:4] != b"FORM" or raw[8:12] != b"AIFF":
+        raise ValueError("not an AIFF file")
+    pos, comm, ssnd = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos: pos + 4]
+        (size,) = struct.unpack_from(">I", raw, pos + 4)
+        body = raw[pos + 8: pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated AIFF chunk")
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + size + (size & 1)  # IFF chunks are word-aligned
+    if comm is None or ssnd is None:
+        raise ValueError("missing AIFF COMM/SSND chunk")
+    if len(comm) < 18:
+        raise ValueError(f"short AIFF COMM chunk ({len(comm)} bytes)")
+    nch, n_frames, bits = struct.unpack_from(">hIh", comm, 0)
+    _rate_from_f80(comm[8:18])  # validates; rate itself rides the table
+    if nch < 1:
+        raise ValueError(f"bad AIFF channel count {nch}")
+    if bits != 16:
+        raise UnsupportedCodec(f"AIFF {bits}-bit PCM")
+    if len(ssnd) < 8:
+        raise ValueError("short AIFF SSND chunk")
+    (offset,) = struct.unpack_from(">I", ssnd, 0)
+    data = ssnd[8 + offset:]
+    pcm = np.frombuffer(data, dtype=">i2", count=len(data) // 2)
+    pcm = pcm[: min(len(pcm), n_frames * nch)]
+    f = pcm.astype(np.float64) / 32768.0
+    if nch > 1:
+        f = f[: len(f) - len(f) % nch].reshape(-1, nch).mean(axis=1)
+    return f.astype(np.float32)
+
+
+_AU_MAGIC = b".snd"
+# AU encoding ids (public Sun/NeXT header spec)
+_AU_ULAW, _AU_PCM8, _AU_PCM16, _AU_F32, _AU_ALAW = 1, 2, 3, 6, 27
+
+
+def encode_au(
+    pcm: np.ndarray, sr_hz: int = 8000, encoding: int = _AU_PCM16
+) -> bytes:
+    """float PCM (``(n,)`` or ``(n, nch)``) -> Sun AU. Encodings:
+    1 = G.711 mu-law, 2 = 8-bit SIGNED PCM (unlike WAV's unsigned),
+    3 = 16-bit big-endian PCM, 6 = float32 BE, 27 = G.711 A-law."""
+    import struct
+
+    x = np.asarray(pcm, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    nch = x.shape[1]
+    flat = x.ravel()
+    if encoding == _AU_ULAW:
+        data = _linear_to_ulaw(_f32_to_s16(flat)).tobytes()
+    elif encoding == _AU_PCM8:
+        data = np.clip(np.round(flat * 127.0), -128, 127).astype(
+            np.int8).tobytes()
+    elif encoding == _AU_PCM16:
+        data = _f32_to_s16(flat).astype(">i2").tobytes()
+    elif encoding == _AU_F32:
+        data = flat.astype(">f4").tobytes()
+    elif encoding == _AU_ALAW:
+        data = _linear_to_alaw(_f32_to_s16(flat)).tobytes()
+    else:
+        raise ValueError(f"unsupported AU encoding {encoding}")
+    hdr = struct.pack(">4sIIIII", _AU_MAGIC, 24, len(data), encoding,
+                      sr_hz, nch)
+    return hdr + data
+
+
+def _decode_au(raw: bytes) -> np.ndarray:
+    """Sun AU header parse -> float32 mono PCM (channel mean)."""
+    import struct
+
+    if len(raw) < 24 or raw[:4] != _AU_MAGIC:
+        raise ValueError("not a Sun AU file")
+    _, offset, dsize, enc, _sr, nch = struct.unpack_from(">4sIIIII", raw, 0)
+    if offset < 24 or offset > len(raw):
+        raise ValueError(f"bad AU data offset {offset}")
+    if nch < 1:
+        raise ValueError(f"bad AU channel count {nch}")
+    data = raw[offset:]
+    if dsize != 0xFFFFFFFF:  # all-ones means "unknown length"
+        if dsize > len(data):
+            raise ValueError("truncated AU data")
+        data = data[:dsize]
+    if enc == _AU_ULAW:
+        f = _ulaw_to_linear(np.frombuffer(data, dtype=np.uint8)).astype(
+            np.float64) / 32768.0
+    elif enc == _AU_PCM8:
+        f = np.frombuffer(data, dtype=np.int8).astype(np.float64) / 128.0
+    elif enc == _AU_PCM16:
+        f = np.frombuffer(
+            data, dtype=">i2", count=len(data) // 2
+        ).astype(np.float64) / 32768.0
+    elif enc == _AU_F32:
+        f = np.frombuffer(
+            data, dtype=">f4", count=len(data) // 4
+        ).astype(np.float64)
+    elif enc == _AU_ALAW:
+        f = _alaw_to_linear(np.frombuffer(data, dtype=np.uint8)).astype(
+            np.float64) / 32768.0
+    else:
+        raise UnsupportedCodec(f"AU encoding {enc}")
+    if nch > 1:
+        f = f[: len(f) - len(f) % nch].reshape(-1, nch).mean(axis=1)
+    return f.astype(np.float32)
 
 
 def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:

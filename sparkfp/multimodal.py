@@ -47,7 +47,8 @@ BYTE_FEATURES = T.StructType(
 )
 
 _DECODABLE = {
-    "pcm_s16le", "ulaw", "alaw", "wav", "adpcm", "mp1", "mp2", "flac",
+    "pcm_s16le", "ulaw", "alaw", "wav", "adpcm", "aiff", "au",
+    "mp1", "mp2", "flac",
 }  # sparkfp.codec
 
 

@@ -1174,3 +1174,98 @@ def test_png_gray16_and_gray_alpha_decode_with_oracle_parity():
     )
     with pytest.raises(codec.UnsupportedCodec):
         codec.decode_image(bad, "png")
+
+
+# ------------------------------------------- AIFF / Sun AU containers
+
+
+def test_aiff_roundtrip_stereo_and_oracle_parity():
+    import tools.dsp_oracle as orc
+
+    pcm = _signal(n=1700)
+    raw = codec.encode(pcm, "aiff", sr_hz=8000)
+    out = codec.decode(raw, "aiff")
+    assert len(out) == len(pcm)
+    assert codec.snr_db(pcm, out) >= 80.0  # 16-bit PCM, near-lossless
+    ora = np.array(orc.decode(raw, "aiff"), dtype=np.float64)
+    assert np.array_equal(out, ora.astype(np.float32))
+    # decorrelated stereo -> channel mean
+    d = 0.2 * _signal(n=1700, seed=9)
+    stereo = np.stack([np.clip(pcm + d, -1, 1), np.clip(pcm - d, -1, 1)],
+                      axis=1)
+    raws = codec.encode_aiff(stereo, 8000)
+    outs = codec.decode(raws, "aiff")
+    assert len(outs) == len(pcm)
+    assert codec.snr_db(stereo.mean(axis=1).astype(np.float32), outs) >= 60.0
+    assert np.array_equal(
+        outs, np.array(orc.decode(raws, "aiff")).astype(np.float32)
+    )
+
+
+def test_aiff_f80_sample_rate_codec():
+    """The 80-bit extended sample-rate field round-trips every MPEG/
+    telephony rate exactly."""
+    from sparkfp.codec import _f80_from_rate, _rate_from_f80
+
+    for sr in (8000, 16000, 22050, 32000, 44100, 48000, 96000):
+        assert _rate_from_f80(_f80_from_rate(sr)) == sr
+
+
+@pytest.mark.parametrize("encoding,floor", [
+    (1, 30.0),   # mu-law
+    (2, 32.0),   # signed 8-bit PCM
+    (3, 80.0),   # 16-bit BE PCM
+    (6, 80.0),   # float32 BE
+    (27, 30.0),  # A-law
+])
+def test_au_roundtrip_all_encodings_and_oracle_parity(encoding, floor):
+    import tools.dsp_oracle as orc
+
+    pcm = _signal(n=1500)
+    raw = codec.encode_au(pcm, 8000, encoding=encoding)
+    out = codec.decode(raw, "au")
+    assert len(out) == len(pcm)
+    assert codec.snr_db(pcm, out) >= floor
+    ora = np.array(orc.decode(raw, "au"), dtype=np.float64)
+    assert np.array_equal(out, ora.astype(np.float32))
+
+
+def test_aiff_au_error_paths():
+    import struct
+
+    pcm = _signal(n=300)
+    good_aiff = codec.encode(pcm, "aiff")
+    good_au = codec.encode(pcm, "au")
+    with pytest.raises(ValueError, match="not an AIFF"):
+        codec.decode(b"FORM\x00\x00\x00\x04WAVE", "aiff")
+    with pytest.raises(ValueError, match="truncated AIFF"):
+        codec.decode(good_aiff[:-3], "aiff")
+    # 8-bit AIFF is valid-but-unimplemented
+    bits8 = bytearray(good_aiff)
+    struct.pack_into(">h", bits8, bits8.index(b"COMM") + 8 + 6, 8)
+    with pytest.raises(codec.UnsupportedCodec, match="8-bit"):
+        codec.decode(bytes(bits8), "aiff")
+    # corrupt 80-bit rate (negative) -> ValueError
+    badrate = bytearray(good_aiff)
+    badrate[badrate.index(b"COMM") + 8 + 8] |= 0x80
+    with pytest.raises(ValueError, match="rate"):
+        codec.decode(bytes(badrate), "aiff")
+    with pytest.raises(ValueError, match="not a Sun AU"):
+        codec.decode(b"dns." + bytes(20), "au")
+    # unknown AU encoding -> UnsupportedCodec
+    enc9 = bytearray(good_au)
+    struct.pack_into(">I", enc9, 12, 9)
+    with pytest.raises(codec.UnsupportedCodec, match="encoding 9"):
+        codec.decode(bytes(enc9), "au")
+    # declared data size beyond the payload -> ValueError
+    overs = bytearray(good_au)
+    struct.pack_into(">I", overs, 8, 2 ** 30)
+    with pytest.raises(ValueError, match="truncated AU"):
+        codec.decode(bytes(overs), "au")
+    # dsize 0xFFFFFFFF means unknown length and decodes fine
+    unk = bytearray(good_au)
+    struct.pack_into(">I", unk, 8, 0xFFFFFFFF)
+    assert len(codec.decode(bytes(unk), "au")) == len(pcm)
+    with pytest.raises(ValueError, match="offset"):
+        codec.decode(good_au[:4] + struct.pack(">IIIII", 4, 0, 3, 8000, 1)
+                     + bytes(8), "au")

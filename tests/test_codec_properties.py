@@ -176,8 +176,8 @@ def test_image_decoders_never_crash_with_foreign_errors(raw, image_codec):
 @settings(max_examples=60, deadline=None)
 @given(st.binary(min_size=0, max_size=300),
        st.sampled_from(
-           ["pcm_s16le", "ulaw", "alaw", "wav", "adpcm", "mp1", "mp2",
-            "flac"]
+           ["pcm_s16le", "ulaw", "alaw", "wav", "adpcm", "aiff", "au",
+            "mp1", "mp2", "flac"]
        ))
 def test_audio_decoders_never_crash_with_foreign_errors(raw, name):
     try:

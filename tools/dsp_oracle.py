@@ -253,6 +253,10 @@ def decode(raw: bytes, codec_name: str) -> list[float]:
         return _decode_mp1_scalar(raw)
     if codec_name == "mp2":
         return _decode_mp2_scalar(raw)
+    if codec_name == "aiff":
+        return _decode_aiff_scalar(raw)
+    if codec_name == "au":
+        return _decode_au_scalar(raw)
     if codec_name == "flac":
         return _decode_flac_scalar(raw)
     raise ValueError(f"oracle cannot decode codec {codec_name!r}")
@@ -1216,7 +1220,8 @@ def frame_features(
     per-block IDCT), a genuine second implementation against the
     engine's vectorized einsum path."""
     if codec_name in (
-        "pcm_s16le", "ulaw", "alaw", "wav", "adpcm", "mp1", "mp2", "flac",
+        "pcm_s16le", "ulaw", "alaw", "wav", "adpcm", "aiff", "au",
+        "mp1", "mp2", "flac",
     ):
         vals = decode(raw, codec_name)
     elif codec_name == "bmp":
@@ -1646,3 +1651,78 @@ def _decode_mp2_scalar(raw: bytes) -> list[float]:
             for n in range(span):
                 out[base + n] += s * taps[n]
     return out[_MP1_DELAY:]
+
+
+# ----------------------------------------------------- AIFF / Sun AU
+#
+# Scalar big-endian container walks (struct reads, per-sample loops),
+# independent of the engine's frombuffer paths.
+
+
+def _decode_aiff_scalar(raw: bytes) -> list[float]:
+    if raw[:4] != b"FORM" or raw[8:12] != b"AIFF":
+        raise ValueError("oracle: not AIFF")
+    pos, comm, ssnd = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos: pos + 4]
+        size = struct.unpack_from(">I", raw, pos + 4)[0]
+        body = raw[pos + 8: pos + 8 + size]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + size + (size % 2)
+    if comm is None or ssnd is None:
+        raise ValueError("oracle: missing COMM/SSND")
+    nch, n_frames, bits = struct.unpack_from(">hIh", comm, 0)
+    if bits != 16:
+        raise ValueError("oracle handles 16-bit AIFF only")
+    # 80-bit extended sample rate: scalar decode, validation only
+    se, mant = struct.unpack(">HQ", comm[8:18])
+    if se & 0x8000 or mant == 0:
+        raise ValueError("oracle: bad AIFF rate")
+    offset = struct.unpack_from(">I", ssnd, 0)[0]
+    data = ssnd[8 + offset:]
+    samples = [
+        s[0] / 32768.0
+        for s in struct.iter_unpack(">h", data[: len(data) - len(data) % 2])
+    ][: n_frames * nch]
+    out = []
+    for i in range(len(samples) // nch):
+        frame = samples[i * nch: (i + 1) * nch]
+        out.append(sum(frame) / nch)
+    return out
+
+
+def _decode_au_scalar(raw: bytes) -> list[float]:
+    if raw[:4] != b".snd":
+        raise ValueError("oracle: not AU")
+    offset, dsize, enc, _sr, nch = struct.unpack_from(">IIIII", raw, 4)
+    data = raw[offset:]
+    if dsize != 0xFFFFFFFF:
+        data = data[:dsize]
+    if enc == 1:
+        samples = [_ULAW_TABLE[b] / 32768.0 for b in data]
+    elif enc == 2:
+        samples = [
+            (b - 256 if b >= 128 else b) / 128.0 for b in data
+        ]
+    elif enc == 3:
+        samples = [
+            s[0] / 32768.0
+            for s in struct.iter_unpack(">h", data[: len(data) - len(data) % 2])
+        ]
+    elif enc == 6:
+        samples = [
+            s[0]
+            for s in struct.iter_unpack(">f", data[: len(data) - len(data) % 4])
+        ]
+    elif enc == 27:
+        samples = [_ALAW_TABLE[b] / 32768.0 for b in data]
+    else:
+        raise ValueError(f"oracle: AU encoding {enc}")
+    out = []
+    for i in range(len(samples) // nch):
+        frame = samples[i * nch: (i + 1) * nch]
+        out.append(sum(frame) / nch)
+    return out

@@ -155,6 +155,16 @@ def frame_feature_inputs(track_ids: list[str]) -> list[tuple[str, bytes, str]]:
              "mp2", sr_hz=32000,
          ), "mp2"),
     ]
+    # big-endian container rows: AIFF (stereo, channel mean) and Sun
+    # AU (A-law payload) — engine frombuffer vs scalar struct walks
+    _aseg = synth.track_pcm(track_ids[3])[:12000]
+    items += [
+        ("aiff_00",
+         codec.encode_aiff(
+             np.stack([_aseg, -0.5 * _aseg], axis=1), synth.SR_HZ
+         ), "aiff"),
+        ("au_00", codec.encode_au(_aseg, synth.SR_HZ, encoding=27), "au"),
+    ]
     # h264 = the remaining deterministic-fake boundary (needs ffmpeg)
     items += [
         (f"img_{i:02d}", hashlib.md5(b"img%d" % i).digest() * 64, "h264")
