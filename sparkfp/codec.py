@@ -5,6 +5,7 @@ The clip table carries opaque ``bytes`` + a ``codec`` tag
 ``pcm_s16le``, ``ulaw`` / ``alaw`` (G.711), ``wav`` (RIFF: integer
 PCM 8/16/24/32-bit, IEEE float32/64, G.711 payload tags 6/7, and
 WAVE_FORMAT_EXTENSIBLE routing), ``adpcm`` (IMA ADPCM in RIFF),
+``aiff`` / ``au`` (the big-endian Mac/Sun containers),
 ``mp1`` / ``mp2`` (MPEG-1 Audio
 Layers I and II, sparkfp/mpeg_audio.py), and ``flac`` (lossless,
 sparkfp/flac.py). What's left (mp3 Layer III / ogg / aac would need
