@@ -79,15 +79,72 @@ def pcm_signals(draw):
     ).astype(np.float32)
 
 
+def _companding_levels(name: str) -> np.ndarray:
+    """All reconstruction levels of a single-byte companding codec,
+    built through the public decode API (one byte per code)."""
+    return np.sort(
+        np.unique(
+            [float(codec.decode(bytes([c]), name)[0]) for c in range(256)]
+        )
+    )
+
+
+def _assert_within_quantization_step(pcm, out, name):
+    """Spec-true pointwise invariant: every decoded sample is a
+    reconstruction level within ONE quantization step (of the segment
+    the sample falls in) of the input. The G.711-style encoders here
+    truncate magnitude (spec decision values, not round-to-nearest), so
+    the pointwise error bound is a full local step, never more — unlike
+    a blanket SNR floor, which a single sample near a cell edge at low
+    amplitude legitimately misses (the committed ulaw regression
+    example reconstructs at ~28.9 dB while within its step)."""
+    x = pcm.astype(np.float64)
+    d = out.astype(np.float64)
+    if name in ("pcm_s16le", "wav"):
+        # 16-bit linear with truncating encode: 2 LSB covers truncation
+        # plus the 32767/32768 scale asymmetry and the +/-1.0 clip edge
+        assert np.abs(d - x).max() <= 2.0 / 32768
+        return
+    levels = _companding_levels(name)
+    idx = np.clip(np.searchsorted(levels, d), 0, len(levels) - 1)
+    prev_lv = levels[np.maximum(idx - 1, 0)]
+    next_lv = levels[np.minimum(idx + 1, len(levels) - 1)]
+    step = np.maximum(d - prev_lv, next_lv - d)  # local segment step
+    # clipped tails (|x| past the outermost level) are exempt like any
+    # saturating quantizer; everything interior must be within a step
+    interior = (x > levels[0]) & (x < levels[-1])
+    err = np.abs(d - x)
+    assert bool(np.all(err[interior] <= step[interior] + 1e-9)), (
+        f"{name}: sample further than one quantization step from its "
+        "reconstruction level"
+    )
+
+
 @settings(max_examples=40, deadline=None)
 @given(pcm_signals(), st.sampled_from(["pcm_s16le", "ulaw", "alaw", "wav"]))
 def test_audio_roundtrip_meets_snr_contract(pcm, name):
     out = codec.decode(codec.encode(pcm, name), name)
     assert len(out) == len(pcm)
-    # input_hint contract: decoded PCM matches ground truth at >=30 dB;
-    # trivially-quiet signals are excluded (SNR undefined near silence)
-    if float(np.mean(pcm.astype(np.float64) ** 2)) > 1e-4:
+    # pointwise spec-true invariant for ANY signal; the statistical
+    # 30 dB SNR envelope only for signals long enough that per-sample
+    # quantization noise averages out (>= 256 samples, non-silent)
+    _assert_within_quantization_step(pcm, out, name)
+    if (
+        len(pcm) >= 256
+        and float(np.mean(pcm.astype(np.float64) ** 2)) > 1e-4
+    ):
         assert codec.snr_db(pcm, out) >= 30.0
+
+
+def test_ulaw_single_sample_cell_edge_regression():
+    """Falsifying example from the round-6 hypothesis run: a single
+    sample near a ulaw quantization-cell edge reconstructs at ~28.9 dB
+    (< the old blanket 30 dB gate) while being exactly the spec
+    reconstruction value for its cell."""
+    pcm = np.array([0.01253699], dtype=np.float32)
+    out = codec.decode(codec.encode(pcm, "ulaw"), "ulaw")
+    _assert_within_quantization_step(pcm, out, "ulaw")
+    assert codec.snr_db(pcm, out) < 30.0  # why the old gate was wrong
 
 
 @settings(max_examples=40, deadline=None)
