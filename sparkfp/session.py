@@ -44,6 +44,39 @@ def default_parallelism() -> int:
     return max(1, min(os.cpu_count() or 8, effective_core_cap()))
 
 
+def fan_out(df, min_partitions: int | None = None, key: str | None = None):
+    """Repartition a BATCH DataFrame up to the session's parallelism
+    when its current layout has fewer partitions (guide §2.5 "input
+    skew: one huge unsplittable file — repartition immediately after
+    the read").
+
+    Single-row-group parquet files (the local fixtures; any unsplittable
+    input at scale) yield one scan task no matter how many cores exist,
+    which serializes every expensive per-row stage above the scan —
+    measured 36 s -> ~2 s for near_dup_keep at sf1.0 where the whole
+    minhash UDF ran in one task. At cluster scale a well-laid-out table
+    already has >= cores scan partitions and this is a no-op (the
+    partition count is inspected, never assumed), so no shuffle is paid
+    when the layout is already parallel.
+
+    ``key`` hash-partitions on that column (deterministic, no
+    sort-before-repartition pass); otherwise round-robin.
+    """
+    if getattr(df, "isStreaming", False):
+        return df  # micro-batch layout is the trigger's concern
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if current >= target:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.repartition(target, F.col(key)) if key else df.repartition(target)
+
+
 def get_spark(
     app_name: str = "sparkfp",
     cores: int | None = None,
@@ -67,9 +100,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # clip rows carry ~100 KB binary payloads: cap Arrow batches so a
-        # pandas batch stays ~25 MB, not gigabytes
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # clip rows carry ~100 KB binary payloads: cap Arrow batches BY
+        # BYTES (Spark 4 knob) so a pandas batch stays ~32 MB. The old
+        # row cap of 256 applied to every UDF, shrinking text/numeric
+        # batches 40x below the 10k default and defeating per-batch
+        # vectorization (and the minhash shingle cache: measured 34 s
+        # vs 7 s single-threaded for 256-row vs large batches); the
+        # byte cap only bites where rows are actually fat.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "33554432b")
         # same for the vectorized parquet reader: the default 4096-row
         # columnar batch of blob rows is ~400 MB per task and OOMs a
         # default heap (blob tables at 100 TB need this set regardless)

@@ -322,6 +322,39 @@ def test_lowess_matches_independent_oracle(spark, it):
         assert g == pytest.approx(exp, abs=1e-9), (key, it)
 
 
+def test_lowess_batched_path_matches_per_group_reference(spark):
+    """The multi-group mapInPandas path (repartition + sortWithin +
+    carry-over across Arrow batches) must equal the per-group oracle
+    for EVERY group — exercised with a tiny Arrow batch size so groups
+    straddle batch boundaries (the carry-over path) and with group
+    sizes from degenerate (1, 2) through > batch."""
+    rng = np.random.Generator(np.random.Philox(key=[7, 0]))
+    rows = []
+    series = {}
+    sizes = [1, 2, 3, 5, 40, 17, 8, 40, 4, 23]
+    for gi, n in enumerate(sizes):
+        key = f"g{gi:02d}"
+        y = (np.sin(np.linspace(0, 6, n)) * 10 + rng.standard_normal(n)).tolist()
+        series[key] = y
+        rows += [(key, i, float(v)) for i, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "k string, ts long, value double")
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = (
+            analytics.lowess(df, "value", ["k"], "ts", frac=0.3, it=0)
+            .orderBy("k", "ts")
+            .toPandas()
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)
+    assert len(got) == sum(sizes)
+    for key, y in series.items():
+        exp = _lowess_oracle(y, frac=0.3, it=0)
+        g = got[got.k == key].smooth.tolist()
+        assert g == pytest.approx(exp, abs=1e-9), key
+
+
 def test_lowess_smooths_outlier_with_robust_iterations(spark):
     # small noise keeps the median absolute residual > 0 so the robust
     # reweighting actually runs (on exactly-fit data s = 0 and the
