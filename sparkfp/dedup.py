@@ -862,6 +862,49 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """Bit-identical twin of :func:`cosine`, Arrow-batched.
+
+    The higher-order-function form is interpreted per element (HOF
+    lambdas defeat whole-stage codegen): ~3 aggregate folds x dim
+    interpreted evals per pair — measured 3.7 s for 200k pairs x 64
+    dims (ann_topk, sf1.0). This UDF computes the same left-fold sums
+    with ``cumsum`` (numpy's cumulative sum is a sequential
+    accumulation, so ``cumsum(p)[-1]`` reproduces the fold
+    ``((0.0 + p_0) + p_1) + ...`` bit-for-bit; elementwise float32 ->
+    float64 casts and products are IEEE-identical to the JVM's), so
+    swapping it into a query cannot change any rounded result. Pinned
+    by tests/test_dataops.py::test_cosine_arrow_bit_identical.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        n = len(va)
+        if not n:
+            return pd.Series([], dtype="float64")
+        va_l = va.tolist()
+        vb_l = vb.tolist()
+        lens = np.fromiter((len(v) for v in va_l), dtype=np.int64, count=n)
+        out = np.empty(n, dtype=np.float64)
+        # batches may mix dims (callers guarantee len(a) == len(b) per
+        # row, as every in-repo use does): vectorize per distinct dim
+        for length in np.unique(lens):
+            idx = np.nonzero(lens == length)[0]
+            A = np.array([va_l[i] for i in idx], dtype=np.float64)
+            B = np.array([vb_l[i] for i in idx], dtype=np.float64)
+            P = A * B
+            out[idx] = P.cumsum(axis=1)[:, -1]
+            na = np.sqrt((A * A).cumsum(axis=1)[:, -1])
+            nb = np.sqrt((B * B).cumsum(axis=1)[:, -1])
+            out[idx] /= na * nb
+        return pd.Series(out)
+
+    return cos(a, b)
+
+
 def embedding_near_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:
@@ -874,7 +917,7 @@ def embedding_near_pairs(
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos", cosine_arrow(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
@@ -927,7 +970,7 @@ def embedding_near_pairs_lsh(
         .agg(F.first("a.v").alias("va"), F.first("b.v").alias("vb"))
     )
     return (
-        cand.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        cand.withColumn("cos", cosine_arrow(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )

@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .dedup import cosine
+from .dedup import cosine, cosine_arrow  # noqa: F401 (cosine kept for the HOF twin contract)
 
 
 def brute_force_topk(
@@ -43,7 +43,10 @@ def brute_force_topk(
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        # cosine_arrow == cosine bit-for-bit (see dedup.cosine_arrow);
+        # the HOF form is interpreted per element and cost 3.7 s for
+        # the 200k-pair ann_topk at sf1.0 vs ~0.4 s Arrow-batched
+        .withColumn("cos", F.round(cosine_arrow(F.col("qv"), F.col("cv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -201,7 +204,9 @@ def ivf_topk(
     cand = c.join(F.broadcast(q), "list_id").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    scored = cand.withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    scored = cand.withColumn(
+        "cos", F.round(cosine_arrow(F.col("qv"), F.col("cv")), 6)
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -231,7 +236,9 @@ def lsh_topk(
         corpus, queries, id_col, vec_col, dim,
         n_planes=n_planes, n_tables=n_tables, seed=seed,
     )
-    scored = cand.withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    scored = cand.withColumn(
+        "cos", F.round(cosine_arrow(F.col("qv"), F.col("cv")), 6)
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -167,6 +167,36 @@ def test_embedding_near_pairs(spark):
 # ------------------------------------------------------------------ similarity
 
 
+def test_cosine_arrow_bit_identical(spark):
+    """cosine_arrow must equal the HOF cosine BIT-FOR-BIT (not approx):
+    the similarity/embedding hot paths swapped it in for speed and the
+    driver oracle compares rounded values, so any ulp drift at a
+    rounding boundary would flip a result. Covers float32 and float64
+    vectors, negatives, tiny/huge magnitudes and mixed dims."""
+    rng = np.random.Generator(np.random.Philox(key=[9, 0]))
+    rows = []
+    for i in range(300):
+        dim = [3, 8, 64][i % 3]
+        scale = [1.0, 1e-12, 1e12][i % 3]
+        a = (rng.standard_normal(dim) * scale).tolist()
+        b = (rng.standard_normal(dim) * scale).tolist()
+        rows.append((i, a, b))
+    for typ in ("float", "double"):
+        df = spark.createDataFrame(
+            rows, f"id long, a array<{typ}>, b array<{typ}>"
+        )
+        got = (
+            df.select(
+                "id",
+                dedup.cosine(F.col("a"), F.col("b")).alias("hof"),
+                dedup.cosine_arrow(F.col("a"), F.col("b")).alias("arrow"),
+            )
+            .toPandas()
+            .sort_values("id")
+        )
+        assert list(got.hof) == list(got.arrow), typ  # exact, no approx
+
+
 def test_brute_force_topk_matches_numpy(spark):
     rng = np.random.Generator(np.random.Philox(key=[1, 0]))
     V = rng.standard_normal((30, 8)).astype(np.float64)
