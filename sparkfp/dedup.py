@@ -690,7 +690,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     token value = first 8 hex chars of md5 (32 bits); bit b adds +1 or
     -1; the fingerprint sets bit b where the vote is positive. Fully
     reproducible in ANSI SQL (md5 + hex->int + bit arithmetic).
+
+    The explode + md5 + 32-way partial bit-vote aggregation all run
+    scan-side (below the one exchange); fan_out keeps that map work off
+    a single task when the input is an unsplittable file (guide §2.5).
     """
+    from .session import fan_out
+
+    df = fan_out(df, key=id_col)
     toks = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"),
