@@ -312,23 +312,36 @@ def near_dup_suppress_batch(
     return suppress_from_banded(df, banded, id_col, ts_col)
 
 
-def suppress_from_banded(
-    df: DataFrame, banded: DataFrame, id_col: str, ts_col: str
+def survivors_from_banded(
+    banded: DataFrame, id_col: str, ts_col: str
 ) -> DataFrame:
-    """Generic half of the batch suppressor: given (id, ts, band_idx,
-    band) rows from ANY bander (text shingles, audio landmark minhash),
-    keep rows that are first on every one of their bands."""
+    """Surviving ids (one row per id) from (id, ts, band_idx, band)
+    rows: an id survives iff it is first, in (ts, id) order, on EVERY
+    one of its bands. Callers that only need the id set (e.g. the
+    near_dup_keep driver query) use this directly and skip the
+    re-scan + semi-join that :func:`suppress_from_banded` pays to
+    return full rows."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("band_idx", "band").orderBy(ts_col, id_col)
-    survivors = (
+    return (
         banded.withColumn("_first", F.row_number().over(w) == 1)
         .groupBy(id_col)
         .agg(F.min(F.col("_first").cast("int")).alias("_all_first"))
         .filter(F.col("_all_first") == 1)
         .select(id_col)
     )
-    return df.join(survivors, id_col, "left_semi")
+
+
+def suppress_from_banded(
+    df: DataFrame, banded: DataFrame, id_col: str, ts_col: str
+) -> DataFrame:
+    """Generic half of the batch suppressor: given (id, ts, band_idx,
+    band) rows from ANY bander (text shingles, audio landmark minhash),
+    keep rows that are first on every one of their bands."""
+    return df.join(
+        survivors_from_banded(banded, id_col, ts_col), id_col, "left_semi"
+    )
 
 
 def near_dup_band_verdicts_stream(
@@ -954,13 +967,17 @@ def embedding_near_pairs_lsh(
     exact, so precision is always 1.
     """
     from . import similarity
+    from .session import fan_out
 
     tables = [
         similarity.hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)
     ]
+    df = fan_out(df, key=id_col)
+    # the bucket self-join and pair dedup carry ONLY ids (guide §2.3 —
+    # the old groupBy(first(va), first(vb)) shuffled two dim-length
+    # vectors per candidate row); vectors re-attach by id afterwards
     banded = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
         F.posexplode(similarity._table_sigs(F.col(vec_col), tables)).alias(
             "t", "sig"
         ),
@@ -973,11 +990,15 @@ def embedding_near_pairs_lsh(
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.first("a.v").alias("va"), F.first("b.v").alias("vb"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
-        cand.withColumn("cos", cosine_arrow(F.col("va"), F.col("vb")))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", cosine_arrow(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )

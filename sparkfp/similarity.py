@@ -36,11 +36,18 @@ def brute_force_topk(
     scanned once with no shuffle; only the (n_queries x k) result
     shuffles. Ties break on neighbor id for determinism.
     """
+    from .session import fan_out
+
     query_id_col = query_id_col or id_col
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # fan_out: the cosine scoring runs scan-side below the top-k
+    # exchange; a single-row-group corpus would score every pair on one
+    # task (guide §2.5)
+    c = fan_out(corpus, key=id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         # cosine_arrow == cosine bit-for-bit (see dedup.cosine_arrow);
@@ -117,24 +124,35 @@ def lsh_candidates(
     every corpus row to every query and defeats the bucketing. A
     pair matching in several tables is deduped by the groupBy.
     """
+    from .session import fan_out
+
     query_id_col = query_id_col or id_col
     tables = [hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    corpus = fan_out(corpus, key=id_col)
+    # candidate generation carries ONLY ids through the dedup shuffle:
+    # the old groupBy(first(qv), first(cv)) shuffled two dim-length
+    # vectors per candidate row (~64x the bytes of the id pair, guide
+    # §2.3 "project before the exchange"); vectors are re-attached
+    # afterwards by id — same rows, same vectors, cheaper exchange.
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
         F.posexplode(_table_sigs(F.col(vec_col), tables)).alias("t", "sig"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
         F.posexplode(_table_sigs(F.col(vec_col), tables)).alias("t", "sig"),
     )
-    return (
+    pairs = (
         c.join(F.broadcast(q), ["t", "sig"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.first("qv").alias("qv"), F.first("cv").alias("cv"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    return pairs.join(cv, "neighbor_id").join(F.broadcast(qv), "query_id")
 
 
 def ivf_centroids(dim: int, n_centroids: int = 16, seed: int = 42) -> np.ndarray:
