@@ -972,11 +972,11 @@ def embedding_near_pairs_lsh(
     tables = [
         similarity.hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)
     ]
-    df = fan_out(df, key=id_col)
     # the bucket self-join and pair dedup carry ONLY ids (guide §2.3 —
     # the old groupBy(first(va), first(vb)) shuffled two dim-length
-    # vectors per candidate row); vectors re-attach by id afterwards
-    banded = df.select(
+    # vectors per candidate row); vectors re-attach by id afterwards.
+    # fan_out on the signature branch only (re-attach is a join input)
+    banded = fan_out(df, key=id_col).select(
         F.col(id_col).alias("id"),
         F.posexplode(similarity._table_sigs(F.col(vec_col), tables)).alias(
             "t", "sig"

@@ -128,13 +128,14 @@ def lsh_candidates(
 
     query_id_col = query_id_col or id_col
     tables = [hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
-    corpus = fan_out(corpus, key=id_col)
     # candidate generation carries ONLY ids through the dedup shuffle:
     # the old groupBy(first(qv), first(cv)) shuffled two dim-length
     # vectors per candidate row (~64x the bytes of the id pair, guide
     # §2.3 "project before the exchange"); vectors are re-attached
     # afterwards by id — same rows, same vectors, cheaper exchange.
-    c = corpus.select(
+    # fan_out applies to the signature branch only: the re-attach
+    # branches are joined (often broadcast) and need no pre-shuffle.
+    c = fan_out(corpus, key=id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode(_table_sigs(F.col(vec_col), tables)).alias("t", "sig"),
     )
